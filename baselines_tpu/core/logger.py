@@ -1,0 +1,357 @@
+"""Key-value metrics logger.
+
+Behavioral parity with baselines/logger.py: ``logkv`` last-wins (:311-313),
+``logkv_mean`` running mean (:314-317), ``dumpkvs`` writes the accumulated row
+to every configured format and clears it (:319-335), formats = human table /
+json-lines / csv-with-dynamic-columns / tensorboard events
+(logger.py:27-187), configuration via env vars with a timestamped tmpdir
+default (logger.py:372-399), and per-process-suffix muting for non-zero
+shards (logger.py:385-393).
+
+Differences by design: no MPI — the cross-host weighted mean of logged
+values (logger.py:319-328) is instead done by the caller through
+``distributed.collectives.host_weighted_mean`` before dumping, since in a
+JAX multi-host program only process 0 configures writing formats.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import os.path as osp
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+DEBUG = 10
+INFO = 20
+WARN = 30
+ERROR = 40
+DISABLED = 50
+
+
+# ---------------------------------------------------------------------------
+# output formats
+
+
+class KVWriter:
+    def writekvs(self, kvs):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class SeqWriter:
+    def writeseq(self, seq):
+        raise NotImplementedError
+
+
+class HumanOutputFormat(KVWriter, SeqWriter):
+    """Boxed two-column table (logger.py:27-74)."""
+
+    def __init__(self, filename_or_file):
+        if isinstance(filename_or_file, str):
+            self.file = open(filename_or_file, "wt")
+            self.own_file = True
+        else:
+            self.file = filename_or_file
+            self.own_file = False
+
+    def writekvs(self, kvs):
+        key2str = {}
+        for key, val in sorted(kvs.items()):
+            valstr = f"{val:<8.3g}" if hasattr(val, "__float__") else str(val)
+            key2str[self._truncate(key)] = self._truncate(valstr)
+        if not key2str:
+            return
+        keywidth = max(map(len, key2str.keys()))
+        valwidth = max(map(len, key2str.values()))
+        dashes = "-" * (keywidth + valwidth + 7)
+        lines = [dashes]
+        for key, val in sorted(key2str.items(), key=lambda kv: kv[0].lower()):
+            lines.append(f"| {key}{' ' * (keywidth - len(key))} | {val}{' ' * (valwidth - len(val))} |")
+        lines.append(dashes)
+        self.file.write("\n".join(lines) + "\n")
+        self.file.flush()
+
+    @staticmethod
+    def _truncate(s, maxlen=30):
+        return s[: maxlen - 3] + "..." if len(s) > maxlen else s
+
+    def writeseq(self, seq):
+        self.file.write(" ".join(map(str, seq)) + "\n")
+        self.file.flush()
+
+    def close(self):
+        if self.own_file:
+            self.file.close()
+
+
+class JSONOutputFormat(KVWriter):
+    """One JSON object per row (logger.py:77-91)."""
+
+    def __init__(self, filename):
+        self.file = open(filename, "wt")
+
+    def writekvs(self, kvs):
+        out = {}
+        for k, v in sorted(kvs.items()):
+            out[k] = float(v) if hasattr(v, "__float__") else v
+        self.file.write(json.dumps(out) + "\n")
+        self.file.flush()
+
+    def close(self):
+        self.file.close()
+
+
+class CSVOutputFormat(KVWriter):
+    """CSV that rewrites the file when a new column appears
+    (logger.py:94-136)."""
+
+    def __init__(self, filename):
+        self.file = open(filename, "w+t")
+        self.keys = []
+        self.sep = ","
+
+    def writekvs(self, kvs):
+        extra_keys = list(kvs.keys() - self.keys)
+        extra_keys.sort()
+        if extra_keys:
+            self.keys.extend(extra_keys)
+            self.file.seek(0)
+            lines = self.file.readlines()
+            self.file.seek(0)
+            self.file.truncate()
+            self.file.write(self.sep.join(self.keys) + "\n")
+            for line in lines[1:]:
+                self.file.write(line.rstrip("\n") + self.sep * len(extra_keys) + "\n")
+        row = []
+        for k in self.keys:
+            v = kvs.get(k)
+            row.append("" if v is None else str(v))
+        self.file.write(self.sep.join(row) + "\n")
+        self.file.flush()
+
+    def close(self):
+        self.file.close()
+
+
+class TensorBoardOutputFormat(KVWriter):
+    """Scalar summaries via tensorboard's pure-python writer
+    (logger.py:139-171 equivalent, without TF)."""
+
+    def __init__(self, logdir):
+        from torch.utils.tensorboard import SummaryWriter  # cpu torch is baked in
+
+        os.makedirs(logdir, exist_ok=True)
+        self.writer = SummaryWriter(log_dir=logdir)
+        self.step = 1
+
+    def writekvs(self, kvs):
+        for k, v in kvs.items():
+            if hasattr(v, "__float__"):
+                self.writer.add_scalar(k, float(v), self.step)
+        self.writer.flush()
+        self.step += 1
+
+    def close(self):
+        self.writer.close()
+
+
+def make_output_format(fmt, ev_dir, log_suffix=""):
+    """Factory mirroring logger.py:174-187."""
+    os.makedirs(ev_dir, exist_ok=True)
+    if fmt == "stdout":
+        return HumanOutputFormat(sys.stdout)
+    if fmt == "log":
+        return HumanOutputFormat(osp.join(ev_dir, f"log{log_suffix}.txt"))
+    if fmt == "json":
+        return JSONOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.json"))
+    if fmt == "csv":
+        return CSVOutputFormat(osp.join(ev_dir, f"progress{log_suffix}.csv"))
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(osp.join(ev_dir, f"tb{log_suffix}"))
+    raise ValueError(f"Unknown format specified: {fmt}")
+
+
+# ---------------------------------------------------------------------------
+# logger singleton
+
+
+class Logger:
+    DEFAULT = None  # type: Logger
+    CURRENT = None  # type: Logger
+
+    def __init__(self, dir, output_formats):
+        self.name2val = defaultdict(float)
+        self.name2cnt = defaultdict(int)
+        self.level = INFO
+        self.dir = dir
+        self.output_formats = output_formats
+
+    def logkv(self, key, val):
+        self.name2val[key] = val
+
+    def logkv_mean(self, key, val):
+        if val is None:
+            self.name2val[key] = None
+            return
+        oldval, cnt = self.name2val[key], self.name2cnt[key]
+        self.name2val[key] = oldval * cnt / (cnt + 1) + float(val) / (cnt + 1)
+        self.name2cnt[key] = cnt + 1
+
+    def dumpkvs(self):
+        if self.level == DISABLED:
+            return {}
+        d = dict(self.name2val)
+        for fmt in self.output_formats:
+            if isinstance(fmt, KVWriter):
+                fmt.writekvs(self.name2val)
+        self.name2val.clear()
+        self.name2cnt.clear()
+        return d
+
+    def log(self, *args, level=INFO):
+        if self.level <= level:
+            for fmt in self.output_formats:
+                if isinstance(fmt, SeqWriter):
+                    fmt.writeseq(map(str, args))
+
+    def set_level(self, level):
+        self.level = level
+
+    def get_dir(self):
+        return self.dir
+
+    def close(self):
+        for fmt in self.output_formats:
+            fmt.close()
+
+
+def _default_dir():
+    return osp.join(
+        tempfile.gettempdir(),
+        datetime.datetime.now().strftime("btpu-%Y-%m-%d-%H-%M-%S-%f"),
+    )
+
+
+def configure(dir=None, format_strs=None, log_suffix=""):
+    """logger.py:372-399 equivalent; env vars BTPU_LOGDIR / BTPU_LOG_FORMAT
+    (OPENAI_LOGDIR / OPENAI_LOG_FORMAT honored as fallbacks)."""
+    if dir is None:
+        dir = os.getenv("BTPU_LOGDIR") or os.getenv("OPENAI_LOGDIR")
+    if dir is None:
+        dir = _default_dir()
+    os.makedirs(dir, exist_ok=True)
+    if format_strs is None:
+        fmt_env = os.getenv("BTPU_LOG_FORMAT") or os.getenv("OPENAI_LOG_FORMAT")
+        format_strs = fmt_env.split(",") if fmt_env else ["stdout", "log", "csv"]
+    format_strs = [f for f in format_strs if f]
+    output_formats = [make_output_format(f, dir, log_suffix) for f in format_strs]
+    Logger.CURRENT = Logger(dir=dir, output_formats=output_formats)
+    if output_formats:
+        log(f"Logging to {dir}")
+
+
+def configure_for_process(process_index: int, dir=None, format_strs=None):
+    """Process 0 logs everything; others get a muted logger with a rank
+    suffix (run.py:209-214 + logger.py:385-393 behavior)."""
+    if process_index == 0:
+        configure(dir=dir, format_strs=format_strs)
+    else:
+        configure(dir=dir, format_strs=format_strs or ["log"], log_suffix=f"-proc{process_index:03d}")
+        Logger.CURRENT.set_level(DISABLED)
+
+
+def _get_current():
+    if Logger.CURRENT is None:
+        Logger.CURRENT = Logger(dir=None, output_formats=[HumanOutputFormat(sys.stdout)])
+    return Logger.CURRENT
+
+
+def logkv(key, val):
+    _get_current().logkv(key, val)
+
+
+def logkv_mean(key, val):
+    _get_current().logkv_mean(key, val)
+
+
+def logkvs(d):
+    for k, v in d.items():
+        logkv(k, v)
+
+
+def dumpkvs():
+    return _get_current().dumpkvs()
+
+
+def getkvs():
+    return dict(_get_current().name2val)
+
+
+def log(*args, level=INFO):
+    _get_current().log(*args, level=level)
+
+
+def debug(*args):
+    log(*args, level=DEBUG)
+
+
+def info(*args):
+    log(*args, level=INFO)
+
+
+def warn(*args):
+    log(*args, level=WARN)
+
+
+def error(*args):
+    log(*args, level=ERROR)
+
+
+def set_level(level):
+    _get_current().set_level(level)
+
+
+def get_dir():
+    return _get_current().get_dir()
+
+
+def reset():
+    if Logger.CURRENT is not None:
+        Logger.CURRENT.close()
+    Logger.CURRENT = None
+
+
+# ---------------------------------------------------------------------------
+# wall-clock phase timers (logger.py:262-282 parity)
+
+_profile_starts = {}
+
+
+@contextmanager
+def profile_kv(scopename):
+    logkey = "wait_" + scopename
+    tstart = time.time()
+    try:
+        yield
+    finally:
+        _get_current().name2val[logkey] += time.time() - tstart
+
+
+def profile(n):
+    """Decorator form: @profile("name") accumulates wait_name."""
+
+    def decorator_with_name(func):
+        def func_wrapper(*args, **kwargs):
+            with profile_kv(n):
+                return func(*args, **kwargs)
+
+        return func_wrapper
+
+    return decorator_with_name

@@ -1,0 +1,293 @@
+"""The vectorized rollout engine — TPU-native replacement for the entire
+``baselines/common/vec_env`` package.
+
+The reference steps N envs in worker subprocesses and ships obs over pipes or
+shared memory every step (subproc_vec_env.py:60-88, shmem_vec_env.py:20-105).
+Here a vector env is ``jax.vmap`` over a pure env, so N env steps are one
+fused device computation and a T-step rollout is a ``lax.scan`` inside the
+jitted train step — zero host crossings.
+
+The vector interface is the SAME functional contract as a single env, just
+batched, so wrappers compose identically at either level:
+
+    obs, state = venv.reset(key)                      # obs: (N, ...)
+    obs, state, rew, done, info = venv.step(key, state, actions)
+
+Auto-reset semantics match the subprocess workers (subproc_vec_env.py:8-12):
+when an env reports done, the returned obs/state are the RESET obs/state; the
+pre-reset terminal observation is surfaced as info['terminal_obs'].
+
+Wrappers provided (reference analogs):
+  VecMonitor     — episode return/length accounting as device state
+                   (vec_monitor.py:7-55 + the epinfobuf deque ppo2/ppo2.py:118)
+  VecFrameStack  — rolling k-frame stack along the channel axis
+                   (vec_frame_stack.py:6-30)
+  VecNormalize   — obs/return normalization with running statistics
+                   (vec_normalize.py:4-47); stats live in env state so they
+                   checkpoint with the model, fixing README.md:117's wart
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from baselines_tpu.core.running_stats import RunningMeanStd
+from baselines_tpu.envs.base import JaxEnv
+from baselines_tpu.envs.spaces import Box
+
+EPISODE_BUFFER = 100  # matches deque(maxlen=100) of epinfos, ppo2/ppo2.py:118
+
+
+def _where_done(done, a, b):
+    """Select a where done else b, broadcasting done over trailing dims."""
+    d = done.reshape(done.shape + (1,) * (a.ndim - done.ndim))
+    return jnp.where(d, a, b)
+
+
+@struct.dataclass
+class EpisodeStats:
+    """Per-env accumulators + a device ring buffer of the last 100 completed
+    episode returns/lengths — the info['episode'] pipeline (bench/monitor.py:58-75)
+    rebuilt as pure state."""
+
+    ep_return: jnp.ndarray  # (N,)
+    ep_length: jnp.ndarray  # (N,)
+    ret_buffer: jnp.ndarray  # (EPISODE_BUFFER,)
+    len_buffer: jnp.ndarray  # (EPISODE_BUFFER,)
+    episodes: jnp.ndarray  # scalar int32, total completed
+    total_steps: jnp.ndarray  # scalar int64-ish float
+
+    @staticmethod
+    def create(num_envs: int) -> "EpisodeStats":
+        return EpisodeStats(
+            ep_return=jnp.zeros((num_envs,), jnp.float32),
+            ep_length=jnp.zeros((num_envs,), jnp.int32),
+            ret_buffer=jnp.zeros((EPISODE_BUFFER,), jnp.float32),
+            len_buffer=jnp.zeros((EPISODE_BUFFER,), jnp.float32),
+            episodes=jnp.zeros((), jnp.int32),
+            total_steps=jnp.zeros((), jnp.float32),
+        )
+
+    def update(self, reward, done) -> "EpisodeStats":
+        n = reward.shape[0]
+        ep_return = self.ep_return + reward
+        ep_length = self.ep_length + 1
+        # scatter completed episodes into the ring buffer
+        order = jnp.cumsum(done.astype(jnp.int32)) - 1  # 0-based among dones
+        slot = (self.episodes + order) % EPISODE_BUFFER
+        slot = jnp.where(done, slot, EPISODE_BUFFER)  # OOB => dropped
+        ret_buffer = self.ret_buffer.at[slot].set(ep_return, mode="drop")
+        len_buffer = self.len_buffer.at[slot].set(
+            ep_length.astype(jnp.float32), mode="drop"
+        )
+        n_done = jnp.sum(done.astype(jnp.int32))
+        return EpisodeStats(
+            ep_return=jnp.where(done, 0.0, ep_return),
+            ep_length=jnp.where(done, 0, ep_length),
+            ret_buffer=ret_buffer,
+            len_buffer=len_buffer,
+            episodes=self.episodes + n_done,
+            total_steps=self.total_steps + n,
+        )
+
+    def _masked_mean(self, buf):
+        valid = jnp.minimum(self.episodes, EPISODE_BUFFER)
+        mask = jnp.arange(EPISODE_BUFFER) < valid
+        return jnp.where(
+            valid > 0, jnp.sum(jnp.where(mask, buf, 0.0)) / jnp.maximum(valid, 1), jnp.nan
+        )
+
+    @property
+    def mean_return(self):
+        """eprewmean (ppo2/ppo2.py:201)."""
+        return self._masked_mean(self.ret_buffer)
+
+    @property
+    def mean_length(self):
+        """eplenmean (ppo2/ppo2.py:202)."""
+        return self._masked_mean(self.len_buffer)
+
+
+class VecJaxEnv:
+    """vmap-batched env with subprocess-matching auto-reset."""
+
+    def __init__(self, env: JaxEnv, num_envs: int):
+        self.env = env
+        self.num_envs = int(num_envs)
+        self.observation_space = env.observation_space
+        self.action_space = env.action_space
+        self._vreset = jax.vmap(env.reset)
+        self._vstep = jax.vmap(env.step)
+
+    def reset(self, key):
+        keys = jax.random.split(key, self.num_envs)
+        return self._vreset(keys)
+
+    def step(self, key, state, actions):
+        kstep, kreset = jax.random.split(key)
+        step_keys = jax.random.split(kstep, self.num_envs)
+        obs, st, rew, done, info = self._vstep(step_keys, state, actions)
+        reset_keys = jax.random.split(kreset, self.num_envs)
+        robs, rst = self._vreset(reset_keys)
+        info = dict(info)
+        info["terminal_obs"] = obs
+        new_obs = _where_done(done, robs, obs)
+        new_state = jax.tree_util.tree_map(partial(_where_done, done), rst, st)
+        return new_obs, new_state, rew.astype(jnp.float32), done, info
+
+
+class VecWrapper:
+    def __init__(self, venv):
+        self.venv = venv
+        self.num_envs = venv.num_envs
+        self.observation_space = venv.observation_space
+        self.action_space = venv.action_space
+
+    def reset(self, key):
+        return self.venv.reset(key)
+
+    def step(self, key, state, actions):
+        return self.venv.step(key, state, actions)
+
+
+@struct.dataclass
+class MonitorState:
+    inner: Any
+    stats: EpisodeStats
+
+
+class VecMonitor(VecWrapper):
+    """Episode accounting as device state (vec_monitor.py:7-55)."""
+
+    def reset(self, key):
+        obs, inner = self.venv.reset(key)
+        return obs, MonitorState(inner, EpisodeStats.create(self.num_envs))
+
+    def step(self, key, state, actions):
+        obs, inner, rew, done, info = self.venv.step(key, state.inner, actions)
+        stats = state.stats.update(rew, done)
+        return obs, MonitorState(inner, stats), rew, done, info
+
+    @staticmethod
+    def get_stats(state) -> EpisodeStats:
+        while not isinstance(state, MonitorState):
+            state = state.inner
+        return state.stats
+
+
+@struct.dataclass
+class FrameStackState:
+    inner: Any
+    frames: jnp.ndarray  # (N, ..., C*k)
+
+
+class VecFrameStack(VecWrapper):
+    """Roll the last k frames along the last (channel) axis
+    (vec_frame_stack.py:6-30): on done, the stack is zeroed before inserting
+    the reset frame."""
+
+    def __init__(self, venv, k: int):
+        super().__init__(venv)
+        self.k = int(k)
+        sp = venv.observation_space
+        low = np.repeat(sp.low, self.k, axis=-1)
+        high = np.repeat(sp.high, self.k, axis=-1)
+        self.observation_space = Box(low, high, dtype=sp.dtype)
+        self._c = sp.shape[-1]
+
+    def _insert(self, frames, obs):
+        shifted = jnp.roll(frames, -self._c, axis=-1)
+        return shifted.at[..., -self._c :].set(obs)
+
+    def reset(self, key):
+        obs, inner = self.venv.reset(key)
+        frames = jnp.zeros(
+            (self.num_envs,) + self.observation_space.shape,
+            self.observation_space.dtype,
+        )
+        frames = self._insert(frames, obs)
+        return frames, FrameStackState(inner, frames)
+
+    def step(self, key, state, actions):
+        obs, inner, rew, done, info = self.venv.step(key, state.inner, actions)
+        frames = _where_done(done, jnp.zeros_like(state.frames), state.frames)
+        frames = self._insert(frames, obs)
+        return frames, FrameStackState(inner, frames), rew, done, info
+
+
+@struct.dataclass
+class NormalizeState:
+    inner: Any
+    ob_rms: RunningMeanStd
+    ret_rms: RunningMeanStd
+    ret: jnp.ndarray  # (N,) discounted return accumulator
+
+
+class VecNormalize(VecWrapper):
+    """Observation and return normalization (vec_normalize.py:4-47).
+
+    The running statistics are part of env state, so they serialize inside
+    the train-state checkpoint (unlike the reference, where only the
+    use_tf=True variant checkpoints — README.md:117).  Pass axis_name to
+    psum-merge batch moments across a mesh axis when stepping under
+    shard_map (mpi_running_mean_std.py replacement).
+    """
+
+    def __init__(
+        self,
+        venv,
+        ob: bool = True,
+        ret: bool = True,
+        clipob: float = 10.0,
+        cliprew: float = 10.0,
+        gamma: float = 0.99,
+        epsilon: float = 1e-8,
+        axis_name: str | None = None,
+    ):
+        super().__init__(venv)
+        self.ob = ob
+        self.ret_flag = ret
+        self.clipob = clipob
+        self.cliprew = cliprew
+        self.gamma = gamma
+        self.epsilon = epsilon
+        self.axis_name = axis_name
+
+    def _norm_obs(self, ob_rms, obs):
+        if not self.ob:
+            return obs
+        return ob_rms.normalize(obs, clip=self.clipob, epsilon=self.epsilon)
+
+    def reset(self, key):
+        obs, inner = self.venv.reset(key)
+        ob_rms = RunningMeanStd.create(self.observation_space.shape)
+        ret_rms = RunningMeanStd.create(())
+        if self.ob:
+            ob_rms = ob_rms.update(obs, axis_name=self.axis_name)
+        state = NormalizeState(
+            inner, ob_rms, ret_rms, jnp.zeros((self.num_envs,), jnp.float32)
+        )
+        return self._norm_obs(ob_rms, obs), state
+
+    def step(self, key, state, actions):
+        obs, inner, rew, done, info = self.venv.step(key, state.inner, actions)
+        ob_rms, ret_rms, ret = state.ob_rms, state.ret_rms, state.ret
+        ret = ret * self.gamma + rew
+        if self.ob:
+            ob_rms = ob_rms.update(obs, axis_name=self.axis_name)
+        if self.ret_flag:
+            ret_rms = ret_rms.update(ret, axis_name=self.axis_name)
+            rew = jnp.clip(
+                rew / jnp.sqrt(ret_rms.var + self.epsilon),
+                -self.cliprew,
+                self.cliprew,
+            )
+        ret = jnp.where(done, 0.0, ret)
+        new_state = NormalizeState(inner, ob_rms, ret_rms, ret)
+        return self._norm_obs(ob_rms, obs), new_state, rew, done, info
