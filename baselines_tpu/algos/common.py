@@ -1,0 +1,192 @@
+"""Shared learner scaffolding.
+
+- `build_env`: env-id → monitored vector env with the standard wrapper chain
+  per env type (cmd_util.make_vec_env / run.build_env analog,
+  baselines/run.py:86-118).
+- `run_rollout`: the T-step on-device rollout scan — the replacement for
+  AbstractEnvRunner.run (common/runners.py:4-18) and the per-alg runner
+  classes; returns a time-major trajectory pytree.
+- `Model`: the object `learn` returns, with .step/.value/.save/.load mirroring
+  PolicyWithValue's surface (common/policies.py:77-118) so downstream code
+  (CLI --play, tests) has one contract for every algorithm.
+- `adam_optimizer`/`apply_updates_lr`: gradient-clip + Adam with the learning
+  rate supplied per-update as a traced scalar (the reference feeds LR through
+  feed_dict each minibatch, ppo2/model.py:91-116).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from baselines_tpu.core import checkpoint as ckpt
+from baselines_tpu.envs.registry import get_env_type, is_jax_env, make_env
+from baselines_tpu.envs.vec import VecJaxEnv, VecMonitor, VecNormalize
+
+
+def build_env(
+    env_id: str,
+    num_envs: int,
+    *,
+    normalize: bool | None = None,
+    reward_scale: float = 1.0,
+    axis_name: str | None = None,
+):
+    """Standard chain: VecJaxEnv → VecMonitor → [VecNormalize for continuous
+    control] (run.py:86-118: mujoco gets VecNormalize, atari gets
+    VecFrameStack — frame stacking is applied by atari-specific factories)."""
+    env = make_env(env_id)
+    if reward_scale != 1.0:
+        from baselines_tpu.envs.base import RewardScale
+
+        env = RewardScale(env, reward_scale)
+    venv = VecMonitor(VecJaxEnv(env, num_envs))
+    env_type = get_env_type(env_id)
+    if normalize is None:
+        normalize = env_type == "mujoco"
+    if normalize:
+        venv = VecNormalize(venv, axis_name=axis_name)
+    return venv
+
+
+@struct.dataclass
+class Trajectory:
+    """Time-major (T, N, ...) rollout record."""
+
+    obs: Any
+    actions: jnp.ndarray
+    values: jnp.ndarray
+    neglogps: jnp.ndarray
+    rewards: jnp.ndarray
+    dones: jnp.ndarray  # done AT step t (obs_{t+1} is reset)
+    rnn_masks: jnp.ndarray  # done BEFORE step t (zeroes rnn carry), (T, N)
+
+
+def run_rollout(policy, venv, params, key, env_state, obs, rnn_state, last_done, nsteps: int):
+    """Scan nsteps of policy.step + venv.step.
+
+    Returns (key, env_state, obs, rnn_state, last_done, traj, last_value).
+    `last_done` threading provides the rnn carry mask contract of
+    a2c/utils.py:88-91 (mask at step t = done at t-1).
+    """
+
+    def body(carry, _):
+        key, env_state, obs, rnn_state, last_done = carry
+        key, kact, kstep = jax.random.split(key, 3)
+        mask = last_done.astype(jnp.float32)
+        action, value, neglogp, new_rnn = policy.step(params, kact, obs, rnn_state, mask)
+        nobs, nstate, rew, ndone, info = venv.step(kstep, env_state, action)
+        t = Trajectory(
+            obs=obs,
+            actions=action,
+            values=value,
+            neglogps=neglogp,
+            rewards=rew,
+            dones=ndone,
+            rnn_masks=mask,
+        )
+        return (key, nstate, nobs, new_rnn, ndone), t
+
+    (key, env_state, obs, rnn_state, last_done), traj = jax.lax.scan(
+        body, (key, env_state, obs, rnn_state, last_done), None, length=nsteps
+    )
+    last_value = policy.value(
+        params, obs, rnn_state, last_done.astype(jnp.float32)
+    )
+    return key, env_state, obs, rnn_state, last_done, traj, last_value
+
+
+def adam_optimizer(max_grad_norm: float | None, eps: float = 1e-5):
+    """Clip-then-Adam, LR applied separately (ppo2/model.py:97-116 order)."""
+    parts = []
+    if max_grad_norm is not None:
+        parts.append(optax.clip_by_global_norm(max_grad_norm))
+    parts.append(optax.scale_by_adam(eps=eps))
+    return optax.chain(*parts)
+
+
+def apply_updates_lr(tx, params, opt_state, grads, lr):
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+    return params, opt_state
+
+
+class Model:
+    """The uniform object returned by every `learn` (reference contract:
+    run.py:76-81 expects .save; --play expects .step)."""
+
+    def __init__(self, policy, state, extra=None):
+        self.policy = policy
+        self.state = state  # algorithm train-state pytree, .params field
+        self.extra = extra or {}
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def initial_rnn_state(self, nenv: int):
+        return self.policy.initial_state(nenv)
+
+    def step(self, key, obs, rnn_state=None, done=None):
+        mask = None
+        if self.policy.is_recurrent:
+            mask = (
+                done.astype(jnp.float32)
+                if done is not None
+                else jnp.zeros((obs.shape[0],), jnp.float32)
+            )
+        return self.policy.step(self.params, key, obs, rnn_state, mask)
+
+    def value(self, obs, rnn_state=None, done=None):
+        mask = done.astype(jnp.float32) if done is not None else None
+        return self.policy.value(self.params, obs, rnn_state, mask)
+
+    def save(self, path):
+        ckpt.save_state(path, self.state.params)
+
+    def load(self, path):
+        new_params = ckpt.load_state(path, jax.device_get(self.state.params))
+        self.state = self.state.replace(params=jax.device_put(new_params))
+        return self
+
+    def save_full(self, path):
+        ckpt.save_state(path, self.state)
+
+    def load_full(self, path):
+        self.state = ckpt.load_state(path, jax.device_get(self.state))
+        return self
+
+
+def evaluate(model: Model, venv, key, nsteps: int = 1000, deterministic: bool = True):
+    """Roll the policy and report mean episode return (host-driven helper for
+    tests / --play; the hot path stays jitted)."""
+    policy = model.policy
+
+    @jax.jit
+    def run(key):
+        obs, env_state = venv.reset(key)
+        rnn_state = policy.initial_state(venv.num_envs)
+        done = jnp.zeros((venv.num_envs,), bool)
+
+        def body(carry, _):
+            key, env_state, obs, rnn_state, done = carry
+            key, kact, kstep = jax.random.split(key, 3)
+            mask = done.astype(jnp.float32)
+            if deterministic:
+                action, _, rnn_state2 = policy.mode_step(model.params, obs, rnn_state, mask)
+            else:
+                action, _, _, rnn_state2 = policy.step(model.params, kact, obs, rnn_state, mask)
+            obs, env_state, rew, done, _ = venv.step(kstep, env_state, action)
+            return (key, env_state, obs, rnn_state2, done), None
+
+        (key, env_state, obs, rnn_state, done), _ = jax.lax.scan(
+            body, (key, env_state, obs, rnn_state, done), None, length=nsteps
+        )
+        return VecMonitor.get_stats(env_state)
+
+    stats = run(key)
+    return float(stats.mean_return), float(stats.mean_length), int(stats.episodes)

@@ -1,0 +1,336 @@
+"""PPO (clipped surrogate) — parity with baselines/ppo2.
+
+Loss parity: ppo2/model.py:46-116 — clipped value loss (:69-75), clipped
+ratio surrogate (:78-88), entropy bonus, approxkl/clipfrac diagnostics;
+advantages normalized PER MINIBATCH (model.py:136-139).  Training schedule
+parity: ppo2/ppo2.py:21-218 — noptepochs × nminibatches shuffled SGD with
+LR/cliprange annealed by remaining fraction (:133-137), recurrent policies
+minibatched by whole-env trajectory chunks (:167-180).
+
+TPU-native structure: ONE jitted `update` contains the entire iteration —
+the T-step rollout scan, GAE, and every optimizer epoch/minibatch as nested
+``lax.scan``s — where the reference crosses host↔device per env step and per
+minibatch feed_dict (ppo2/runner.py:29-40, model.py:140-158).  Data
+parallelism: shard the env axis of the train state over a mesh; XLA turns
+the minibatch gradient mean into an ICI all-reduce, replacing
+MpiAdamOptimizer's host Allreduce (mpi_adam_optimizer.py:39-46).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from baselines_tpu.algos.common import (
+    Model,
+    adam_optimizer,
+    apply_updates_lr,
+    build_env,
+    run_rollout,
+)
+from baselines_tpu.core import logger
+from baselines_tpu.core.checkpoint import periodic_path, save_state
+from baselines_tpu.core.math import explained_variance
+from baselines_tpu.core.rng import seed_key
+from baselines_tpu.core.schedules import resolve_fraction_schedule
+from baselines_tpu.data.gae import gae
+from baselines_tpu.envs.vec import VecMonitor
+from baselines_tpu.nn.policy import build_policy
+
+
+@struct.dataclass
+class PPOTrainState:
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    env_state: Any
+    obs: Any
+    rnn_state: Any
+    last_done: jnp.ndarray
+    update_idx: jnp.ndarray  # int32
+
+
+def _flat01(x):
+    """(T, N, ...) -> (T*N, ...) — the sf01 flatten (ppo2/runner.py:69-74)."""
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def make_ppo_loss(policy, ent_coef, vf_coef):
+    def loss_fn(params, batch, cliprange, rnn_init=None):
+        """batch leaves are flat (B, ...) for feedforward; time-major
+        (T, B, ...) plus rnn_init (B, h) for recurrent policies."""
+        obs, actions, returns, old_values, old_neglogps, rnn_masks = batch
+        if rnn_init is not None:
+
+            def step(rnn, x):
+                obs_t, mask_t = x
+                pdflat_t, vf_t, rnn = policy.apply(params, obs_t, rnn, mask_t)
+                return rnn, (pdflat_t, vf_t)
+
+            _, (pdflat, vpred) = jax.lax.scan(step, rnn_init, (obs, rnn_masks))
+            pdflat = _flat01(pdflat)
+            vpred = _flat01(vpred)
+            actions, returns, old_values, old_neglogps = (
+                _flat01(actions),
+                _flat01(returns),
+                _flat01(old_values),
+                _flat01(old_neglogps),
+            )
+        else:
+            pdflat, vpred, _ = policy.apply(params, obs)
+        pd = policy.pdtype.pdfromflat(pdflat)
+
+        advs = returns - old_values
+        advs = (advs - advs.mean()) / (advs.std() + 1e-8)  # per-minibatch, model.py:136-139
+
+        neglogpac = pd.neglogp(actions)
+        entropy = jnp.mean(pd.entropy())
+
+        vpredclipped = old_values + jnp.clip(vpred - old_values, -cliprange, cliprange)
+        vf_losses1 = jnp.square(vpred - returns)
+        vf_losses2 = jnp.square(vpredclipped - returns)
+        vf_loss = 0.5 * jnp.mean(jnp.maximum(vf_losses1, vf_losses2))
+
+        ratio = jnp.exp(old_neglogps - neglogpac)
+        pg_losses = -advs * ratio
+        pg_losses2 = -advs * jnp.clip(ratio, 1.0 - cliprange, 1.0 + cliprange)
+        pg_loss = jnp.mean(jnp.maximum(pg_losses, pg_losses2))
+
+        approxkl = 0.5 * jnp.mean(jnp.square(neglogpac - old_neglogps))
+        clipfrac = jnp.mean((jnp.abs(ratio - 1.0) > cliprange).astype(jnp.float32))
+
+        loss = pg_loss - entropy * ent_coef + vf_loss * vf_coef
+        return loss, {
+            "policy_loss": pg_loss,
+            "value_loss": vf_loss,
+            "policy_entropy": entropy,
+            "approxkl": approxkl,
+            "clipfrac": clipfrac,
+        }
+
+    return loss_fn
+
+
+def make_update_fn(
+    policy,
+    venv,
+    tx,
+    *,
+    nsteps,
+    nminibatches,
+    noptepochs,
+    gamma,
+    lam,
+    ent_coef,
+    vf_coef,
+    lr_fn,
+    cliprange_fn,
+    nupdates,
+):
+    nenvs = venv.num_envs
+    loss_fn = make_ppo_loss(policy, ent_coef, vf_coef)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    recurrent = policy.is_recurrent
+    if recurrent:
+        assert nenvs % nminibatches == 0, (
+            "recurrent PPO needs nminibatches to divide num_envs (ppo2/ppo2.py:107)"
+        )
+
+    def update_fn(state: PPOTrainState):
+        frac = 1.0 - state.update_idx.astype(jnp.float32) / nupdates
+        lr = lr_fn(frac)
+        cliprange = cliprange_fn(frac)
+
+        rollout_init_rnn = state.rnn_state
+        key, env_state, obs, rnn_state, last_done, traj, last_value = run_rollout(
+            policy,
+            venv,
+            state.params,
+            state.key,
+            state.env_state,
+            state.obs,
+            state.rnn_state,
+            state.last_done,
+            nsteps,
+        )
+        advs, returns = gae(traj.rewards, traj.values, traj.dones, last_value, gamma, lam)
+
+        batch_t = (traj.obs, traj.actions, returns, traj.values, traj.neglogps, traj.rnn_masks)
+
+        if recurrent:
+            envs_per_mb = nenvs // nminibatches
+
+            def mb_step(carry, mb):
+                params, opt_state = carry
+                mb_batch, mb_rnn = mb
+                (_, metrics), grads = grad_fn(params, mb_batch, cliprange, mb_rnn)
+                params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
+                return (params, opt_state), metrics
+
+            def epoch_step(carry, ekey):
+                perm = jax.random.permutation(ekey, nenvs).reshape(nminibatches, envs_per_mb)
+
+                def mb_of(eidx):
+                    mb_batch = jax.tree_util.tree_map(lambda x: x[:, eidx], batch_t)
+                    return mb_batch, rollout_init_rnn[eidx]
+
+                mbs = jax.vmap(mb_of)(perm)  # leading axis nminibatches
+                return jax.lax.scan(mb_step, carry, mbs)
+
+        else:
+            nbatch = nenvs * nsteps
+            nbatch_train = nbatch // nminibatches
+            batch_flat = jax.tree_util.tree_map(_flat01, batch_t)
+
+            def mb_step(carry, mb_batch):
+                params, opt_state = carry
+                (_, metrics), grads = grad_fn(params, mb_batch, cliprange, None)
+                params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
+                return (params, opt_state), metrics
+
+            def epoch_step(carry, ekey):
+                perm = jax.random.permutation(ekey, nbatch)
+                mbs = jax.tree_util.tree_map(
+                    lambda x: x[perm].reshape((nminibatches, nbatch_train) + x.shape[1:]),
+                    batch_flat,
+                )
+                return jax.lax.scan(mb_step, carry, mbs)
+
+        key, ekeys = key, jax.random.split(key, noptepochs + 1)
+        key, ekeys = ekeys[0], ekeys[1:]
+        (params, opt_state), metrics = jax.lax.scan(
+            epoch_step, (state.params, state.opt_state), ekeys
+        )
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        metrics["explained_variance"] = explained_variance(_flat01(traj.values), _flat01(returns))
+        metrics["learning_rate"] = lr
+        metrics["cliprange"] = cliprange
+
+        new_state = PPOTrainState(
+            params=params,
+            opt_state=opt_state,
+            key=key,
+            env_state=env_state,
+            obs=obs,
+            rnn_state=rnn_state,
+            last_done=last_done,
+            update_idx=state.update_idx + 1,
+        )
+        return new_state, metrics
+
+    return update_fn
+
+
+def learn(
+    *,
+    env=None,
+    env_id: str | None = None,
+    network: str = "mlp",
+    total_timesteps: int,
+    seed: int | None = None,
+    num_envs: int = 8,
+    nsteps: int = 2048,
+    ent_coef: float = 0.0,
+    lr=3e-4,
+    vf_coef: float = 0.5,
+    max_grad_norm: float = 0.5,
+    gamma: float = 0.99,
+    lam: float = 0.95,
+    log_interval: int = 10,
+    nminibatches: int = 4,
+    noptepochs: int = 4,
+    cliprange=0.2,
+    save_interval: int = 0,
+    load_path: str | None = None,
+    value_network: str | None = None,
+    mesh=None,
+    **network_kwargs,
+) -> Model:
+    """Uniform learn contract (ppo2/ppo2.py:21-218 signature analog)."""
+    venv = env if env is not None else build_env(env_id, num_envs)
+    nenvs = venv.num_envs
+    nbatch = nenvs * nsteps
+    nupdates = max(total_timesteps // nbatch, 1)
+
+    policy = build_policy(
+        venv.observation_space,
+        venv.action_space,
+        network,
+        value_network=value_network,
+        **network_kwargs,
+    )
+
+    key = seed_key(seed)
+    key, kreset, kinit = jax.random.split(key, 3)
+    obs, env_state = venv.reset(kreset)
+    params = policy.init(kinit, obs)
+    tx = adam_optimizer(max_grad_norm)
+    opt_state = tx.init(params)
+
+    state = PPOTrainState(
+        params=params,
+        opt_state=opt_state,
+        key=key,
+        env_state=env_state,
+        obs=obs,
+        rnn_state=policy.initial_state(nenvs),
+        last_done=jnp.zeros((nenvs,), bool),
+        update_idx=jnp.zeros((), jnp.int32),
+    )
+
+    if mesh is not None:
+        from baselines_tpu.distributed.mesh import shard_ppo_like_state
+
+        state = shard_ppo_like_state(mesh, state)
+
+    update_fn = jax.jit(
+        make_update_fn(
+            policy,
+            venv,
+            tx,
+            nsteps=nsteps,
+            nminibatches=nminibatches,
+            noptepochs=noptepochs,
+            gamma=gamma,
+            lam=lam,
+            ent_coef=ent_coef,
+            vf_coef=vf_coef,
+            lr_fn=resolve_fraction_schedule(lr),
+            cliprange_fn=resolve_fraction_schedule(cliprange),
+            nupdates=nupdates,
+        ),
+        donate_argnums=0,
+    )
+
+    model = Model(policy, state)
+    if load_path is not None:
+        model.load(load_path)
+        state = model.state
+
+    tfirststart = time.time()
+    for update in range(1, nupdates + 1):
+        tstart = time.time()
+        state, metrics = update_fn(state)
+        if update % log_interval == 0 or update == 1:
+            metrics = jax.device_get(metrics)
+            tnow = time.time()
+            fps = int(nbatch / (tnow - tstart))
+            stats = VecMonitor.get_stats(state.env_state)
+            logger.logkv("misc/serial_timesteps", update * nsteps)
+            logger.logkv("misc/nupdates", update)
+            logger.logkv("misc/total_timesteps", update * nbatch)
+            logger.logkv("fps", fps)
+            logger.logkv("eprewmean", float(stats.mean_return))
+            logger.logkv("eplenmean", float(stats.mean_length))
+            logger.logkv("misc/time_elapsed", tnow - tfirststart)
+            for k, v in metrics.items():
+                logger.logkv(f"loss/{k}" if "loss" in k or k in ("approxkl", "clipfrac", "policy_entropy") else k, float(v))
+            logger.dumpkvs()
+        if save_interval and (update % save_interval == 0 or update == 1) and logger.get_dir():
+            save_state(periodic_path(logger.get_dir(), update), jax.device_get(state))
+    model.state = state
+    return model

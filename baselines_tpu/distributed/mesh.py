@@ -68,3 +68,40 @@ def shard_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# fields of algorithm train states that carry a leading env/batch axis and
+# should be sharded over the dp mesh axis; everything else is replicated
+_ENV_AXIS_FIELDS = (
+    "env_state",
+    "obs",
+    "rnn_state",
+    "last_done",
+    "replay",
+    "eval_env_state",
+    "eval_obs",
+)
+
+
+def shard_train_state(mesh: Mesh, state):
+    """Lay out an algorithm train state for data parallelism: env-axis fields
+    sharded on dp, params/opt/rng replicated.  XLA then compiles the batch
+    gradient mean inside the jitted update into an ICI all-reduce — the
+    reference's per-minibatch host Allreduce (mpi_adam_optimizer.py:39-46)
+    becomes a fused on-device collective."""
+    updates = {}
+    for name in state.__dataclass_fields__:
+        value = getattr(state, name)
+        if value is None:
+            continue
+        if name in _ENV_AXIS_FIELDS:
+            updates[name] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), value
+            )
+        else:
+            updates[name] = replicate(mesh, value)
+    return state.replace(**updates)
+
+
+# backwards-friendly alias used by algos
+shard_ppo_like_state = shard_train_state
