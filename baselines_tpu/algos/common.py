@@ -115,6 +115,14 @@ def apply_updates_lr(tx, params, opt_state, grads, lr):
     return params, opt_state
 
 
+def dealias(tree):
+    """Force every leaf to own its buffer.  Some envs return an obs array
+    that IS a state field (e.g. identity envs), and donating a train state
+    holding the same buffer twice is a runtime error; one explicit copy at
+    state-creation time removes the aliasing."""
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
+
+
 class Model:
     """The uniform object returned by every `learn` (reference contract:
     run.py:76-81 expects .save; --play expects .step)."""

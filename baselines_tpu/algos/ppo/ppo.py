@@ -271,21 +271,25 @@ def learn(
     tx = adam_optimizer(max_grad_norm)
     opt_state = tx.init(params)
 
-    state = PPOTrainState(
-        params=params,
-        opt_state=opt_state,
-        key=key,
-        env_state=env_state,
-        obs=obs,
-        rnn_state=policy.initial_state(nenvs),
-        last_done=jnp.zeros((nenvs,), bool),
-        update_idx=jnp.zeros((), jnp.int32),
+    from baselines_tpu.algos.common import dealias
+
+    state = dealias(
+        PPOTrainState(
+            params=params,
+            opt_state=opt_state,
+            key=key,
+            env_state=env_state,
+            obs=obs,
+            rnn_state=policy.initial_state(nenvs),
+            last_done=jnp.zeros((nenvs,), bool),
+            update_idx=jnp.zeros((), jnp.int32),
+        )
     )
 
     if mesh is not None:
-        from baselines_tpu.distributed.mesh import shard_ppo_like_state
+        from baselines_tpu.distributed.mesh import shard_train_state
 
-        state = shard_ppo_like_state(mesh, state)
+        state = shard_train_state(mesh, state, nenvs)
 
     update_fn = jax.jit(
         make_update_fn(

@@ -70,38 +70,22 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-# fields of algorithm train states that carry a leading env/batch axis and
-# should be sharded over the dp mesh axis; everything else is replicated
-_ENV_AXIS_FIELDS = (
-    "env_state",
-    "obs",
-    "rnn_state",
-    "last_done",
-    "replay",
-    "eval_env_state",
-    "eval_obs",
-)
+def shard_train_state(mesh: Mesh, state, num_envs: int):
+    """Lay out an algorithm train state for data parallelism: every leaf with
+    a leading axis of length num_envs (env state, obs, rnn carries, done
+    flags) is sharded over the dp axis; everything else (params, optimizer
+    state, rng, counters, episode ring buffers) is replicated.  XLA then
+    compiles the batch gradient mean inside the jitted update into an ICI
+    all-reduce — the reference's per-minibatch host Allreduce
+    (mpi_adam_optimizer.py:39-46) becomes a fused on-device collective."""
+    ndev = mesh.devices.size
+    assert num_envs % ndev == 0, (
+        f"num_envs={num_envs} must be divisible by mesh size {ndev}"
+    )
 
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] == num_envs:
+            return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated_sharding(mesh))
 
-def shard_train_state(mesh: Mesh, state):
-    """Lay out an algorithm train state for data parallelism: env-axis fields
-    sharded on dp, params/opt/rng replicated.  XLA then compiles the batch
-    gradient mean inside the jitted update into an ICI all-reduce — the
-    reference's per-minibatch host Allreduce (mpi_adam_optimizer.py:39-46)
-    becomes a fused on-device collective."""
-    updates = {}
-    for name in state.__dataclass_fields__:
-        value = getattr(state, name)
-        if value is None:
-            continue
-        if name in _ENV_AXIS_FIELDS:
-            updates[name] = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), value
-            )
-        else:
-            updates[name] = replicate(mesh, value)
-    return state.replace(**updates)
-
-
-# backwards-friendly alias used by algos
-shard_ppo_like_state = shard_train_state
+    return jax.tree_util.tree_map(put, state)

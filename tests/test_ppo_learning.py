@@ -1,0 +1,102 @@
+"""Learning tests — the reference's "does it train" ladder
+(common/tests/test_identity.py:24-72, test_cartpole.py:16-42,
+test_fixed_sequence.py:16-47) applied to PPO."""
+
+import jax
+import numpy as np
+import pytest
+
+from baselines_tpu.algos.common import build_env, evaluate
+from baselines_tpu.algos.ppo.ppo import learn
+from baselines_tpu.core import logger
+
+
+@pytest.fixture(autouse=True)
+def quiet_logger():
+    logger.configure(format_strs=[])
+    yield
+    logger.reset()
+
+
+def test_ppo_discrete_identity():
+    model = learn(
+        env_id="DiscreteIdentity-v0",
+        network="mlp",
+        total_timesteps=80_000,
+        seed=0,
+        num_envs=8,
+        nsteps=64,
+        nminibatches=4,
+        noptepochs=4,
+        lr=3e-3,
+        ent_coef=0.0,
+        gamma=0.9,  # reference test gamma (test_identity.py:10)
+        log_interval=1000,
+    )
+    venv = build_env("DiscreteIdentity-v0", 8)
+    ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(1), nsteps=300)
+    assert ret > 90, f"identity env mean return {ret} (want >90 of 100)"
+
+
+def test_ppo_cartpole():
+    model = learn(
+        env_id="CartPole-v1",
+        network="mlp",
+        total_timesteps=120_000,
+        seed=0,
+        num_envs=8,
+        nsteps=128,
+        nminibatches=4,
+        noptepochs=4,
+        lr=2.5e-3,
+        log_interval=1000,
+    )
+    venv = build_env("CartPole-v1", 8)
+    ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(1), nsteps=600)
+    assert ret >= 150, f"cartpole mean return {ret} (reference threshold 100+)"
+
+
+def test_ppo_continuous_identity():
+    model = learn(
+        env_id="BoxIdentity-v0",
+        network="mlp",
+        total_timesteps=60_000,
+        seed=0,
+        num_envs=8,
+        nsteps=64,
+        nminibatches=4,
+        noptepochs=4,
+        lr=3e-3,
+        log_interval=1000,
+    )
+    venv = build_env("BoxIdentity-v0", 8)
+    ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(1), nsteps=300)
+    # perfect play = 0; random play ≈ -0.66 per step * 100
+    assert ret > -20, f"box identity mean return {ret}"
+
+
+def test_ppo_lstm_fixed_sequence():
+    """Reference config: FixedSequenceEnv(10, episode_len=5), ppo2+lstm with
+    nsteps=10, nminibatches=1, 50k steps, threshold 0.7 of max
+    (test_fixed_sequence.py:16-47)."""
+    from baselines_tpu.envs.testing.fixed_sequence import FixedSequenceEnv
+    from baselines_tpu.envs.vec import VecJaxEnv, VecMonitor
+
+    def make_venv():
+        return VecMonitor(VecJaxEnv(FixedSequenceEnv(10, episode_len=5), 8))
+
+    model = learn(
+        env=make_venv(),
+        network="lstm",
+        nlstm=32,
+        total_timesteps=50_000,
+        seed=0,
+        nsteps=10,
+        nminibatches=1,
+        noptepochs=4,
+        lr=1e-3,
+        ent_coef=0.0,
+        log_interval=1000,
+    )
+    ret, _, _ = evaluate(model, make_venv(), jax.random.PRNGKey(1), nsteps=100, deterministic=True)
+    assert ret > 3.5, f"fixed-sequence mean return {ret} (want >3.5 of 5)"
