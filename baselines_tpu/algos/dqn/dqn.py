@@ -1,0 +1,334 @@
+"""DQN — parity with baselines/deepq.
+
+Update-rule parity (deepq/build_graph.py:317-449): double-Q action selection
+by the online net evaluated with the target net (:399-402), huber TD loss
+weighted by importance weights (:404-413), gradient clipping (:416-421, the
+reference clips per-variable at 10; here global-norm at the same threshold),
+hard target copy every target_network_update_freq steps (:426-430).
+Training-loop parity (deepq/deepq.py:95-332): ε-greedy with a linear
+schedule over exploration_fraction·total_timesteps (:231-233, 264-278),
+learning_starts / train_freq gating (:286-303), prioritized replay with
+β annealing and |td|+eps priority updates (:294-303), dueling heads
+(deepq/models.py:30-45).
+
+TPU-native structure: the reference runs ONE python iteration per env step
+with three host↔device crossings (act / train / target-sync sess.runs,
+deepq.py:264-307).  Here `chunk_size` whole iterations — each = env step
+batch + (conditionally) a replay-sampled SGD step + (conditionally) a target
+sync — run as a single ``lax.scan`` inside one jit; the replay buffer lives
+in HBM (data/replay.py) and priorities are a dense vector sampled by fused
+cumsum+searchsorted (data/prioritized.py) instead of a host-walked segment
+tree.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from baselines_tpu.algos.common import (
+    Model,
+    adam_optimizer,
+    apply_updates_lr,
+    build_env,
+    dealias,
+)
+from baselines_tpu.core import logger
+from baselines_tpu.core.math import huber_loss
+from baselines_tpu.core.rng import seed_key
+from baselines_tpu.core.schedules import LinearSchedule
+from baselines_tpu.data.prioritized import PrioritizedReplayBuffer
+from baselines_tpu.data.replay import ReplayBuffer
+from baselines_tpu.envs.spaces import Discrete
+from baselines_tpu.envs.vec import VecMonitor
+from baselines_tpu.nn.networks import get_network, ortho
+from baselines_tpu.nn.policy import encode_observation
+
+
+class QNet(nn.Module):
+    """network latent -> hiddens -> [dueling] q-values
+    (deepq/models.py:5-45)."""
+
+    network: Any
+    n_actions: int
+    hiddens: Sequence[int] = (256,)
+    dueling: bool = True
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        latent = self.network(x)
+        latent = latent.reshape((latent.shape[0], -1))
+
+        def stream(h, out_dim, name):
+            for i, n_h in enumerate(self.hiddens):
+                h = nn.Dense(n_h, kernel_init=ortho(jnp.sqrt(2.0)), name=f"{name}_fc{i}")(h)
+                if self.layer_norm:
+                    h = nn.LayerNorm(name=f"{name}_ln{i}")(h)
+                h = nn.relu(h)
+            return nn.Dense(out_dim, kernel_init=ortho(1.0), name=f"{name}_out")(h)
+
+        action_scores = stream(latent, self.n_actions, "action_value")
+        if self.dueling:
+            state_score = stream(latent, 1, "state_value")
+            action_scores = action_scores - jnp.mean(action_scores, axis=-1, keepdims=True)
+            return state_score + action_scores  # models.py:36-45
+        return action_scores
+
+
+class QPolicy:
+    """Minimal policy surface over a Q-net (ε-greedy step / greedy mode)."""
+
+    is_recurrent = False
+
+    def __init__(self, module: QNet, ob_space, n_actions: int):
+        self.module = module
+        self.ob_space = ob_space
+        self.n_actions = n_actions
+
+    def initial_state(self, batch_size: int):
+        return None
+
+    def init(self, key, sample_obs):
+        return self.module.init(key, encode_observation(self.ob_space, sample_obs))
+
+    def q_values(self, params, obs):
+        return self.module.apply(params, encode_observation(self.ob_space, obs))
+
+    def eps_greedy(self, params, key, obs, eps):
+        """build_graph.py:146-199: per-env independent ε-greedy."""
+        q = self.q_values(params, obs)
+        greedy = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        ku, kr = jax.random.split(key)
+        random_actions = jax.random.randint(kr, greedy.shape, 0, self.n_actions, jnp.int32)
+        use_random = jax.random.uniform(ku, greedy.shape) < eps
+        return jnp.where(use_random, random_actions, greedy)
+
+    # Model/evaluate compatibility surface
+    def step(self, params, key, obs, rnn_state=None, rnn_mask=None):
+        action = self.eps_greedy(params, key, obs, 0.0)
+        return action, None, None, None
+
+    def mode_step(self, params, obs, rnn_state=None, rnn_mask=None):
+        q = self.q_values(params, obs)
+        return jnp.argmax(q, axis=-1).astype(jnp.int32), jnp.max(q, axis=-1), None
+
+    def value(self, params, obs, rnn_state=None, rnn_mask=None):
+        return jnp.max(self.q_values(params, obs), axis=-1)
+
+
+@struct.dataclass
+class DQNTrainState:
+    params: Any
+    target_params: Any
+    opt_state: Any
+    key: jax.Array
+    env_state: Any
+    obs: Any
+    replay: Any
+    t: jnp.ndarray  # total env steps so far (int32)
+    n_target_syncs: jnp.ndarray
+
+
+def learn(
+    *,
+    env=None,
+    env_id: str | None = None,
+    network: str = "mlp",
+    total_timesteps: int,
+    seed: int | None = None,
+    num_envs: int = 1,
+    lr: float = 5e-4,
+    buffer_size: int = 50000,
+    exploration_fraction: float = 0.1,
+    exploration_final_eps: float = 0.02,
+    train_freq: int = 1,
+    batch_size: int = 32,
+    print_freq: int = 100,
+    learning_starts: int = 1000,
+    gamma: float = 1.0,
+    target_network_update_freq: int = 500,
+    prioritized_replay: bool = False,
+    prioritized_replay_alpha: float = 0.6,
+    prioritized_replay_beta0: float = 0.4,
+    prioritized_replay_beta_iters: int | None = None,
+    prioritized_replay_eps: float = 1e-6,
+    double_q: bool = True,
+    dueling: bool = True,
+    hiddens: Sequence[int] = (256,),
+    layer_norm: bool = False,
+    grad_norm_clipping: float = 10.0,
+    chunk_size: int = 256,
+    load_path: str | None = None,
+    mesh=None,
+    **network_kwargs,
+) -> Model:
+    """deepq.learn analog (deepq/deepq.py:95-332 signature/defaults)."""
+    venv = env if env is not None else build_env(env_id, num_envs)
+    nenvs = venv.num_envs
+    assert isinstance(venv.action_space, Discrete), "DQN requires discrete actions"
+    n_actions = venv.action_space.n
+
+    net = get_network(network, **network_kwargs)
+    qmod = QNet(network=net, n_actions=n_actions, hiddens=tuple(hiddens),
+                dueling=dueling, layer_norm=layer_norm)
+    policy = QPolicy(qmod, venv.observation_space, n_actions)
+
+    key = seed_key(seed)
+    key, kreset, kinit = jax.random.split(key, 3)
+    obs, env_state = venv.reset(kreset)
+    params = policy.init(kinit, obs)
+    tx = adam_optimizer(grad_norm_clipping)
+
+    exploration = LinearSchedule(
+        int(exploration_fraction * total_timesteps), exploration_final_eps, 1.0
+    )
+    beta_iters = prioritized_replay_beta_iters or total_timesteps
+    beta_sched = LinearSchedule(beta_iters, 1.0, prioritized_replay_beta0)
+
+    sample_item = {
+        "obs": jax.tree_util.tree_map(lambda x: x[0], obs),
+        "action": jnp.zeros((), jnp.int32),
+        "reward": jnp.zeros((), jnp.float32),
+        "next_obs": jax.tree_util.tree_map(lambda x: x[0], obs),
+        "done": jnp.zeros((), jnp.float32),
+    }
+    if prioritized_replay:
+        rb = PrioritizedReplayBuffer(buffer_size, prioritized_replay_alpha)
+    else:
+        rb = ReplayBuffer(buffer_size)
+    replay = rb.init(sample_item)
+
+    def td_loss(params, target_params, batch, weights):
+        q_t = policy.q_values(params, batch["obs"])
+        q_sel = jnp.take_along_axis(q_t, batch["action"][:, None], axis=-1)[:, 0]
+        q_tp1_target = policy.q_values(target_params, batch["next_obs"])
+        if double_q:
+            q_tp1_online = policy.q_values(params, batch["next_obs"])
+            a_prime = jnp.argmax(q_tp1_online, axis=-1)
+            q_tp1_best = jnp.take_along_axis(q_tp1_target, a_prime[:, None], axis=-1)[:, 0]
+        else:
+            q_tp1_best = jnp.max(q_tp1_target, axis=-1)
+        q_tp1_best = (1.0 - batch["done"]) * q_tp1_best
+        target = batch["reward"] + gamma * q_tp1_best
+        td = q_sel - jax.lax.stop_gradient(target)
+        loss = jnp.mean(weights * huber_loss(td))
+        return loss, td
+
+    grad_fn = jax.grad(td_loss, has_aux=True)
+
+    def iteration(state: DQNTrainState, _):
+        key, kact, kstep, ksample = jax.random.split(state.key, 4)
+        eps = exploration.value(state.t)
+        action = policy.eps_greedy(state.params, kact, state.obs, eps)
+        nobs, env_state, rew, done, info = venv.step(kstep, state.env_state, action)
+        transition = {
+            "obs": state.obs,
+            "action": action,
+            "reward": rew,
+            "next_obs": info["terminal_obs"],  # pre-reset obs, the true s'
+            "done": done.astype(jnp.float32),
+        }
+        replay = rb.add_batch(state.replay, transition)
+        t = state.t + nenvs
+
+        can_train = (t >= learning_starts) & (t % train_freq < nenvs)
+
+        def do_train(args):
+            params, opt_state, replay = args
+            if prioritized_replay:
+                batch, idx, weights = rb.sample(
+                    replay, ksample, batch_size, beta_sched.value(t)
+                )
+            else:
+                batch, idx = rb.sample(replay, ksample, batch_size)
+                weights = jnp.ones((batch_size,), jnp.float32)
+            grads, td = grad_fn(params, state.target_params, batch, weights)
+            params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
+            if prioritized_replay:
+                replay = rb.update_priorities(
+                    replay, idx, jnp.abs(td) + prioritized_replay_eps
+                )
+            return params, opt_state, replay
+
+        params, opt_state, replay = jax.lax.cond(
+            can_train,
+            do_train,
+            lambda args: args,
+            (state.params, state.opt_state, replay),
+        )
+
+        # hard target sync every target_network_update_freq env steps
+        want_syncs = (t // target_network_update_freq).astype(jnp.int32)
+        do_sync = want_syncs > state.n_target_syncs
+        target_params = jax.tree_util.tree_map(
+            lambda tp, p: jnp.where(do_sync, p, tp), state.target_params, params
+        )
+
+        new_state = DQNTrainState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            key=key,
+            env_state=env_state,
+            obs=nobs,
+            replay=replay,
+            t=t,
+            n_target_syncs=jnp.where(do_sync, want_syncs, state.n_target_syncs),
+        )
+        return new_state, None
+
+    def run_chunk(state):
+        state, _ = jax.lax.scan(iteration, state, None, length=chunk_size)
+        return state
+
+    update_fn = jax.jit(run_chunk, donate_argnums=0)
+
+    state = dealias(
+        DQNTrainState(
+            params=params,
+            target_params=params,
+            opt_state=tx.init(params),
+            key=key,
+            env_state=env_state,
+            obs=obs,
+            replay=replay,
+            t=jnp.zeros((), jnp.int32),
+            n_target_syncs=jnp.zeros((), jnp.int32),
+        )
+    )
+    if mesh is not None:
+        from baselines_tpu.distributed.mesh import shard_train_state
+
+        state = shard_train_state(mesh, state, nenvs)
+
+    model = Model(policy, state)
+    if load_path is not None:
+        model.load(load_path)
+        state = model.state
+
+    steps_per_chunk = chunk_size * nenvs
+    nchunks = max(total_timesteps // steps_per_chunk, 1)
+    tstart = time.time()
+    last_log_episodes = 0
+    for chunk in range(1, nchunks + 1):
+        state = update_fn(state)
+        if print_freq and chunk % max(1, (print_freq * 100) // steps_per_chunk) == 0:
+            stats = VecMonitor.get_stats(state.env_state)
+            episodes = int(stats.episodes)
+            if episodes > last_log_episodes:
+                last_log_episodes = episodes
+                logger.logkv("steps", int(state.t))
+                logger.logkv("episodes", episodes)
+                logger.logkv("mean 100 episode reward", float(stats.mean_return))
+                logger.logkv("% time spent exploring",
+                             int(100 * float(exploration.value(int(state.t)))))
+                logger.logkv("fps", int(int(state.t) / (time.time() - tstart)))
+                logger.dumpkvs()
+    model.state = state
+    return model
