@@ -1,0 +1,330 @@
+"""HER — hindsight experience replay over a DDPG core, parity with
+baselines/her.
+
+Parity map: episode rollouts of fixed horizon T with ε-random +
+gaussian-noise exploration (her/rollout.py:50-136, get_actions noise_eps /
+random_eps her/ddpg.py:170-184); episodic replay with 'future' relabeling
+(her/replay_buffer.py, her/her_sampler.py — see data/her_buffer.py);
+MPI-synchronized o/g normalizers (her/normalizer.py:10-118 → RunningMeanStd
+with optional mesh axis sync); DDPG losses with target clipping to
+[-1/(1-gamma), 0] (her/ddpg.py _create_network clip_return) and action_l2
+penalty on the pre-scale actor output (her/ddpg.py pi_loss); polyak 0.95
+target averaging; epoch structure n_cycles × (rollout + n_batches trains) +
+target update (her/her.py:22-84).
+
+TPU-native: every cycle — nenvs parallel T-step episode rollouts, episode
+store, 40 relabeled-batch train steps, polyak — is one jitted computation;
+relabeling is a gather/where kernel instead of per-sample host numpy.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from baselines_tpu.algos.common import Model, build_env, dealias
+from baselines_tpu.core import logger
+from baselines_tpu.core.rng import seed_key
+from baselines_tpu.core.running_stats import RunningMeanStd
+from baselines_tpu.data.her_buffer import HerReplayBuffer
+from baselines_tpu.envs.base import TimeLimit
+from baselines_tpu.envs.registry import make_env
+from baselines_tpu.nn.networks import get_network
+
+
+class GoalActor(nn.Module):
+    network: Any
+    nb_actions: int
+
+    @nn.compact
+    def __call__(self, o, g):
+        x = jnp.concatenate([o, g], axis=-1)
+        x = self.network(x)
+        return jnp.tanh(nn.Dense(self.nb_actions, name="pi")(x))
+
+
+class GoalCritic(nn.Module):
+    network: Any
+
+    @nn.compact
+    def __call__(self, o, g, u):
+        x = jnp.concatenate([o, g, u], axis=-1)
+        x = self.network(x)
+        return nn.Dense(1, name="output")(x)[..., 0]
+
+
+@struct.dataclass
+class HERTrainState:
+    actor_params: Any
+    critic_params: Any
+    target_actor_params: Any
+    target_critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    key: jax.Array
+    buffer: Any
+    o_rms: RunningMeanStd
+    g_rms: RunningMeanStd
+    n_episodes: jnp.ndarray
+    success_rate: jnp.ndarray
+
+
+def learn(
+    *,
+    env=None,
+    env_id: str | None = None,
+    network: str = "mlp",
+    total_timesteps: int,
+    seed: int | None = None,
+    num_envs: int = 8,
+    replay_k: float = 4,
+    n_cycles: int = 10,
+    n_batches: int = 40,
+    batch_size: int = 256,
+    buffer_size_episodes: int = 10000,
+    polyak: float = 0.95,
+    gamma: float | None = None,
+    q_lr: float = 1e-3,
+    pi_lr: float = 1e-3,
+    action_l2: float = 1.0,
+    noise_eps: float = 0.2,
+    random_eps: float = 0.3,
+    norm_clip: float = 5.0,
+    log_interval: int = 1,
+    load_path: str | None = None,
+    num_hidden: int = 256,
+    num_layers: int = 3,
+    mesh=None,
+    **network_kwargs,
+) -> Model:
+    """her.learn analog (her/her.py:87-177 + experiment/config.py DEFAULT_PARAMS:
+    layers 3x256, pi_lr/q_lr 1e-3, polyak 0.95, replay_k 4, batch 256,
+    n_cycles, n_batches 40, gamma = 1 - 1/T)."""
+    if env is not None:
+        wrapped = env
+    else:
+        wrapped = make_env(env_id)
+    assert isinstance(wrapped, TimeLimit), "HER needs a fixed-horizon goal env"
+    T = wrapped.max_episode_steps
+    base_env = wrapped.env
+    assert hasattr(base_env, "compute_reward"), "HER env must expose compute_reward"
+    if gamma is None:
+        gamma = 1.0 - 1.0 / T
+    clip_return = 1.0 / (1.0 - gamma)
+
+    reset_v = jax.vmap(base_env.reset)
+    step_v = jax.vmap(base_env.step)
+
+    do = base_env.observation_space["observation"].shape[0]
+    dg = base_env.observation_space["desired_goal"].shape[0]
+    du = base_env.action_space.shape[0]
+    max_action = jnp.asarray(base_env.action_space.high)
+
+    net_kwargs = dict(num_hidden=num_hidden, num_layers=num_layers, **network_kwargs)
+    if network == "mlp":
+        net_kwargs.setdefault("activation", jax.nn.relu)
+    actor_net = GoalActor(get_network(network, **net_kwargs), du)
+    critic_net = GoalCritic(get_network(network, **net_kwargs))
+
+    key = seed_key(seed)
+    key, ka, kc = jax.random.split(key, 3)
+    o0 = jnp.zeros((1, do))
+    g0 = jnp.zeros((1, dg))
+    actor_params = actor_net.init(ka, o0, g0)
+    critic_params = critic_net.init(kc, o0, g0, jnp.zeros((1, du)))
+    actor_tx = optax.adam(pi_lr)
+    critic_tx = optax.adam(q_lr)
+
+    buffer = HerReplayBuffer(buffer_size_episodes, T, {"o": do, "g": dg, "u": du})
+
+    def norm(rms, x):
+        return rms.normalize(x, clip=norm_clip)
+
+    def pi(aparams, o_rms, g_rms, o, g):
+        return actor_net.apply(aparams, norm(o_rms, o), norm(g_rms, g))
+
+    def q(cparams, o_rms, g_rms, o, g, u):
+        return critic_net.apply(cparams, norm(o_rms, o), norm(g_rms, g), u)
+
+    def rollout_episodes(state: HERTrainState):
+        """nenvs parallel T-step episodes (her/rollout.py:50-136)."""
+        key, kreset = jax.random.split(state.key)
+        obs, env_state = reset_v(jax.random.split(kreset, num_envs))
+
+        def step_fn(carry, _):
+            key, env_state, obs = carry
+            key, knoise, keps, krand, kstep = jax.random.split(key, 5)
+            o, ag, g = obs["observation"], obs["achieved_goal"], obs["desired_goal"]
+            u = pi(state.actor_params, state.o_rms, state.g_rms, o, g)
+            u = u + noise_eps * jax.random.normal(knoise, u.shape)  # gaussian noise
+            u = jnp.clip(u, -1.0, 1.0)
+            u_rand = jax.random.uniform(krand, u.shape, minval=-1.0, maxval=1.0)
+            take_rand = jax.random.uniform(keps, (num_envs, 1)) < random_eps
+            u = jnp.where(take_rand, u_rand, u)
+            nobs, env_state, rew, done, info = step_v(
+                jax.random.split(kstep, num_envs), env_state, max_action * u
+            )
+            out = {"o": o, "ag": ag, "g": g, "u": u, "success": info["is_success"]}
+            return (key, env_state, nobs), out
+
+        (key, env_state, obs), tr = jax.lax.scan(
+            step_fn, (key, env_state, obs), None, length=T
+        )
+        # episode arrays: o/ag get the final observation appended (T+1)
+        o_seq = jnp.concatenate(
+            [tr["o"], obs["observation"][None]], axis=0
+        ).swapaxes(0, 1)  # (B, T+1, do)
+        ag_seq = jnp.concatenate(
+            [tr["ag"], obs["achieved_goal"][None]], axis=0
+        ).swapaxes(0, 1)
+        g_seq = tr["g"].swapaxes(0, 1)
+        u_seq = tr["u"].swapaxes(0, 1)
+        success = tr["success"][-1].astype(jnp.float32).mean()
+        return key, o_seq, ag_seq, g_seq, u_seq, success
+
+    def train_step(state: HERTrainState, _):
+        key, ksample = jax.random.split(state.key)
+        batch = buffer.sample(
+            state.buffer, ksample, batch_size, replay_k, base_env.compute_reward
+        )
+        o, o2, g, u, r = batch["o"], batch["o2"], batch["g"], batch["u"], batch["r"]
+
+        u2 = pi(state.target_actor_params, state.o_rms, state.g_rms, o2, g)
+        q2 = q(state.target_critic_params, state.o_rms, state.g_rms, o2, g, u2)
+        target = jnp.clip(r + gamma * q2, -clip_return, 0.0)  # her/ddpg.py target clip
+        target = jax.lax.stop_gradient(target)
+
+        def closs(cp):
+            return jnp.mean(jnp.square(q(cp, state.o_rms, state.g_rms, o, g, u) - target))
+
+        cgrads = jax.grad(closs)(state.critic_params)
+        cupd, critic_opt = critic_tx.update(cgrads, state.critic_opt, state.critic_params)
+        critic_params = optax.apply_updates(state.critic_params, cupd)
+
+        def aloss(ap):
+            a = pi(ap, state.o_rms, state.g_rms, o, g)
+            return -jnp.mean(
+                q(critic_params, state.o_rms, state.g_rms, o, g, a)
+            ) + action_l2 * jnp.mean(jnp.square(a))
+
+        agrads = jax.grad(aloss)(state.actor_params)
+        aupd, actor_opt = actor_tx.update(agrads, state.actor_opt, state.actor_params)
+        actor_params = optax.apply_updates(state.actor_params, aupd)
+
+        state = state.replace(
+            key=key,
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+        )
+        return state, None
+
+    def cycle_fn(state: HERTrainState):
+        key, o_seq, ag_seq, g_seq, u_seq, success = rollout_episodes(state)
+        key, kstore = jax.random.split(key)
+        buf = buffer.store_episodes(state.buffer, kstore, o_seq, ag_seq, g_seq, u_seq)
+        # normalizer updates from the new episodes (her/ddpg.py:217-240)
+        o_rms = state.o_rms.update(o_seq.reshape(-1, do))
+        g_rms = state.g_rms.update(
+            jnp.concatenate([g_seq.reshape(-1, dg), ag_seq.reshape(-1, dg)], axis=0)
+        )
+        state = state.replace(
+            key=key,
+            buffer=buf,
+            o_rms=o_rms,
+            g_rms=g_rms,
+            n_episodes=state.n_episodes + num_envs,
+            success_rate=0.9 * state.success_rate + 0.1 * success,
+        )
+        state, _ = jax.lax.scan(train_step, state, None, length=n_batches)
+        # polyak target update once per cycle (her/her.py:46)
+        state = state.replace(
+            target_actor_params=jax.tree_util.tree_map(
+                lambda t, p: polyak * t + (1 - polyak) * p,
+                state.target_actor_params, state.actor_params,
+            ),
+            target_critic_params=jax.tree_util.tree_map(
+                lambda t, p: polyak * t + (1 - polyak) * p,
+                state.target_critic_params, state.critic_params,
+            ),
+        )
+        return state
+
+    state = dealias(
+        HERTrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_actor_params=actor_params,
+            target_critic_params=critic_params,
+            actor_opt=actor_tx.init(actor_params),
+            critic_opt=critic_tx.init(critic_params),
+            key=key,
+            buffer=buffer.init(),
+            o_rms=RunningMeanStd.create((do,)),
+            g_rms=RunningMeanStd.create((dg,)),
+            n_episodes=jnp.zeros((), jnp.int32),
+            success_rate=jnp.zeros(()),
+        )
+    )
+    if mesh is not None:
+        from baselines_tpu.distributed.mesh import shard_train_state
+
+        state = shard_train_state(mesh, state, num_envs)
+
+    cycle = jax.jit(cycle_fn, donate_argnums=0)
+
+    class HERPolicy:
+        is_recurrent = False
+
+        def initial_state(self, batch_size):
+            return None
+
+        def step(self, params, key, obs, rnn_state=None, rnn_mask=None):
+            a = pi(params["actor"], params["o_rms"], params["g_rms"],
+                   obs["observation"], obs["desired_goal"])
+            return max_action * a, None, None, None
+
+        def mode_step(self, params, obs, rnn_state=None, rnn_mask=None):
+            a = pi(params["actor"], params["o_rms"], params["g_rms"],
+                   obs["observation"], obs["desired_goal"])
+            return max_action * a, None, None
+
+    class HERModel(Model):
+        @property
+        def params(self):
+            return {
+                "actor": self.state.actor_params,
+                "o_rms": self.state.o_rms,
+                "g_rms": self.state.g_rms,
+            }
+
+    model = HERModel(HERPolicy(), state)
+    if load_path is not None:
+        model.load_full(load_path)
+        state = model.state
+
+    steps_per_epoch = n_cycles * num_envs * T
+    n_epochs = max(total_timesteps // steps_per_epoch, 1)
+    tstart = time.time()
+    for epoch in range(n_epochs):
+        for _ in range(n_cycles):
+            state = cycle(state)
+        if log_interval and epoch % log_interval == 0:
+            logger.logkv("epoch", epoch)
+            logger.logkv("train/episode", int(state.n_episodes))
+            logger.logkv("train/success_rate", float(state.success_rate))
+            logger.logkv("total/steps", (epoch + 1) * steps_per_epoch)
+            logger.logkv(
+                "steps_per_second",
+                int((epoch + 1) * steps_per_epoch / (time.time() - tstart)),
+            )
+            logger.dumpkvs()
+    model.state = state
+    return model
