@@ -1,0 +1,335 @@
+"""ACER — actor-critic with experience replay, parity with baselines/acer.
+
+Parity map (acer/acer.py): Retrace(λ=1) targets `q_retrace` (:25-51) as a
+reverse lax.scan; truncated importance sampling with bias correction c=10
+(:131-144); efficient trust-region projection of the policy gradient in
+softmax-probability space with the Polyak-averaged policy as the anchor
+(:155-176, k = -f_avg/f, row-wise adjustment, delta=1); EMA average policy
+(:87-97, alpha=0.99); Q head via estimate_q policy (policies.py:58-64),
+V = Σ_a f·q; RMSProp lr 7e-4, q_coef 0.5, ent_coef 0.01, grad clip 10,
+linear LR schedule; replay buffer of whole trajectory chunks sampled
+Poisson(replay_ratio) times per on-policy update (:374-379), replay_start
+gating (buffer.has_atleast).
+
+TPU-native: the trajectory replay is chunk-major HBM arrays via the generic
+ring buffer; one jitted `train_chunk` handles both the on-policy chunk and
+replayed chunks; the trust-region surgery is a single vjp with an
+analytically adjusted cotangent instead of the reference's double
+tf.gradients pass.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from baselines_tpu.algos.common import Model, build_env, dealias
+from baselines_tpu.core import logger
+from baselines_tpu.core.math import explained_variance
+from baselines_tpu.core.rng import seed_key
+from baselines_tpu.data.replay import ReplayBuffer
+from baselines_tpu.envs.spaces import Discrete
+from baselines_tpu.envs.vec import VecMonitor
+from baselines_tpu.nn.policy import build_policy
+
+EPS = 1e-6
+
+
+def q_retrace(rewards, dones, q_i, values, rho_i, gamma):
+    """acer.py:25-51 as a reverse scan.  Time-major: rewards/dones/q_i/rho_i
+    (T, N), values (T+1, N).  Returns qret (T, N)."""
+    rho_bar = jnp.minimum(1.0, rho_i)
+
+    def body(qret, x):
+        r, d, qi, v, rb = x
+        qret = r + gamma * qret * (1.0 - d)
+        out = qret
+        qret = rb * (qret - qi) + v
+        return qret, out
+
+    _, qrets = jax.lax.scan(
+        body,
+        values[-1],
+        (rewards, dones.astype(jnp.float32), q_i, values[:-1], rho_bar),
+        reverse=True,
+    )
+    return qrets
+
+
+@struct.dataclass
+class ACERTrainState:
+    params: Any
+    avg_params: Any  # Polyak EMA policy (acer.py:87-97)
+    opt_state: Any
+    key: jax.Array
+    env_state: Any
+    obs: Any
+    replay: Any
+    update_idx: jnp.ndarray
+
+
+def learn(
+    *,
+    env=None,
+    env_id: str | None = None,
+    network: str = "cnn",
+    total_timesteps: int = int(80e6),
+    seed: int | None = None,
+    num_envs: int = 16,
+    nsteps: int = 20,
+    q_coef: float = 0.5,
+    ent_coef: float = 0.01,
+    max_grad_norm: float = 10,
+    lr: float = 7e-4,
+    lrschedule: str = "linear",
+    rprop_epsilon: float = 1e-5,
+    rprop_alpha: float = 0.99,
+    gamma: float = 0.99,
+    log_interval: int = 100,
+    buffer_size: int = 50000,
+    replay_ratio: int = 4,
+    replay_start: int = 10000,
+    c: float = 10.0,
+    trust_region: bool = True,
+    alpha: float = 0.99,
+    delta: float = 1.0,
+    load_path: str | None = None,
+    mesh=None,
+    **network_kwargs,
+) -> Model:
+    """acer.learn analog (acer/acer.py:275-381 signature/defaults)."""
+    venv = env if env is not None else build_env(env_id, num_envs)
+    nenvs = venv.num_envs
+    assert isinstance(venv.action_space, Discrete), "ACER supports discrete actions"
+    nact = venv.action_space.n
+    nupdates = max(total_timesteps // (nenvs * nsteps), 1)
+
+    policy = build_policy(
+        venv.observation_space, venv.action_space, network,
+        estimate_q=True, **network_kwargs,
+    )
+    assert not policy.is_recurrent, "recurrent ACER not yet supported"
+
+    key = seed_key(seed)
+    key, kreset, kinit = jax.random.split(key, 3)
+    obs, env_state = venv.reset(kreset)
+    params = policy.init(kinit, obs)
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.scale_by_rms(decay=rprop_alpha, eps=rprop_epsilon),
+    )
+
+    # replay of whole trajectory chunks (acer/buffer.py role)
+    n_chunks = max(buffer_size // nsteps, 1)
+    rb = ReplayBuffer(n_chunks)
+    chunk_item = {
+        "obs": jnp.zeros((nsteps + 1,) + obs.shape[1:], obs.dtype),
+        "actions": jnp.zeros((nsteps,), jnp.int32),
+        "rewards": jnp.zeros((nsteps,), jnp.float32),
+        "mus": jnp.zeros((nsteps, nact), jnp.float32),
+        "dones": jnp.zeros((nsteps,), jnp.float32),
+    }
+    replay = rb.init(chunk_item)
+
+    def f_and_q(p, o_flat):
+        pdflat, q, _ = policy.apply(p, o_flat)
+        return jax.nn.softmax(pdflat), q
+
+    def train_chunk(params, avg_params, opt_state, lr_now, chunk):
+        """One gradient step on a (T, N) trajectory chunk.  chunk arrays are
+        env-major from the buffer: obs (N, T+1, ...), others (N, T, ...)."""
+        obs_c = jnp.swapaxes(chunk["obs"], 0, 1)  # (T+1, N, ...)
+        actions = jnp.swapaxes(chunk["actions"], 0, 1)
+        rewards = jnp.swapaxes(chunk["rewards"], 0, 1)
+        mus = jnp.swapaxes(chunk["mus"], 0, 1)
+        dones = jnp.swapaxes(chunk["dones"], 0, 1)
+        Tn, N = nsteps, actions.shape[1]
+        obs_flat = obs_c.reshape((-1,) + obs_c.shape[2:])  # ((T+1)*N, ...)
+
+        def f_q_stripped(p):
+            f_all, q_all = f_and_q(p, obs_flat)
+            f_all = f_all.reshape(Tn + 1, N, nact)
+            q_all = q_all.reshape(Tn + 1, N, nact)
+            return (f_all[:-1].reshape(Tn * N, nact), q_all[:-1].reshape(Tn * N, nact),
+                    f_all, q_all)
+
+        (f, q, f_all, q_all), vjp_fn = jax.vjp(
+            lambda p: f_q_stripped(p), params
+        )
+        v_all = jnp.sum(f_all * q_all, axis=-1)  # (T+1, N)
+        f_avg_all, _ = f_and_q(avg_params, obs_flat)
+        f_pol = f_avg_all.reshape(Tn + 1, N, nact)[:-1].reshape(Tn * N, nact)
+
+        a_flat = actions.reshape(-1)
+        mu_flat = mus.reshape(-1, nact)
+        f_i = jnp.take_along_axis(f, a_flat[:, None], axis=1)[:, 0]
+        q_i = jnp.take_along_axis(q, a_flat[:, None], axis=1)[:, 0]
+        rho = f / (mu_flat + EPS)
+        rho_i = jnp.take_along_axis(rho, a_flat[:, None], axis=1)[:, 0]
+
+        qret = q_retrace(
+            rewards, dones, q_i.reshape(Tn, N), v_all, rho_i.reshape(Tn, N), gamma
+        ).reshape(-1)
+        v = v_all[:-1].reshape(-1)
+
+        adv = jax.lax.stop_gradient(qret - v)
+        adv_bc = jax.lax.stop_gradient(q - v[:, None])
+        coef_f = jax.lax.stop_gradient(adv * jnp.minimum(c, rho_i))
+        coef_bc = jax.lax.stop_gradient(
+            adv_bc * jax.nn.relu(1.0 - c / (rho + EPS)) * f
+        )
+
+        def loss_pol_of_f(f_var):
+            f_i_v = jnp.take_along_axis(f_var, a_flat[:, None], axis=1)[:, 0]
+            gain_f = jnp.log(f_i_v + EPS) * coef_f
+            gain_bc = jnp.sum(jnp.log(f_var + EPS) * coef_bc, axis=1)
+            entropy = -jnp.sum(f_var * jnp.log(f_var + EPS), axis=1)
+            return (
+                -jnp.mean(gain_f) - jnp.mean(gain_bc) - ent_coef * jnp.mean(entropy)
+            )
+
+        loss_policy_val = loss_pol_of_f(f)
+        entropy_val = jnp.mean(-jnp.sum(f * jnp.log(f + EPS), axis=1))
+        loss_q = 0.5 * jnp.mean(jnp.square(jax.lax.stop_gradient(qret) - q_i))
+
+        dLdf = jax.grad(loss_pol_of_f)(f)
+        if trust_region:
+            g_asc = -dLdf * (Tn * N)  # ascent direction (acer.py:156 scaling)
+            k = -f_pol / (f + EPS)
+            k_dot_g = jnp.sum(k * g_asc, axis=-1)
+            adj = jnp.maximum(
+                0.0, (k_dot_g - delta) / (jnp.sum(jnp.square(k), axis=-1) + EPS)
+            )
+            g_adj = g_asc - adj[:, None] * k
+            ct_f = -g_adj / (Tn * N)  # descent cotangent
+        else:
+            ct_f = dLdf
+        # cotangent on q from q_coef * loss_q
+        ct_q = (
+            q_coef
+            * (q_i - jax.lax.stop_gradient(qret))[:, None]
+            * jax.nn.one_hot(a_flat, nact)
+            / (Tn * N)
+        )
+        grads = vjp_fn((ct_f, ct_q, jnp.zeros_like(f_all), jnp.zeros_like(q_all)))[0]
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p - lr_now * u, params, updates)
+        avg_params = jax.tree_util.tree_map(
+            lambda a, p: alpha * a + (1 - alpha) * p, avg_params, params
+        )
+        metrics = {
+            "loss_policy": loss_policy_val,
+            "loss_q": loss_q,
+            "entropy": entropy_val,
+            "ev_q": explained_variance(q_i, qret),
+        }
+        return params, avg_params, opt_state, metrics
+
+    def rollout_chunk(params, key, env_state, obs):
+        """Collect an on-policy (N, T) chunk with behavior probs."""
+
+        def step_fn(carry, _):
+            key, env_state, obs = carry
+            key, kact, kstep = jax.random.split(key, 3)
+            pdflat, q, _ = policy.apply(params, obs)
+            f = jax.nn.softmax(pdflat)
+            pd = policy.pdtype.pdfromflat(pdflat)
+            action = pd.sample(kact)
+            nobs, env_state, rew, done, info = venv.step(kstep, env_state, action)
+            out = {"obs": obs, "actions": action, "rewards": rew,
+                   "mus": f, "dones": done.astype(jnp.float32)}
+            return (key, env_state, nobs), out
+
+        (key, env_state, obs), tr = jax.lax.scan(
+            step_fn, (key, env_state, obs), None, length=nsteps
+        )
+        chunk = {
+            "obs": jnp.concatenate([tr["obs"], obs[None]], axis=0).swapaxes(0, 1),
+            "actions": tr["actions"].swapaxes(0, 1),
+            "rewards": tr["rewards"].swapaxes(0, 1),
+            "mus": tr["mus"].swapaxes(0, 1),
+            "dones": tr["dones"].swapaxes(0, 1),
+        }
+        return key, env_state, obs, chunk
+
+    def onpolicy_update(state: ACERTrainState):
+        frac = 1.0 - state.update_idx.astype(jnp.float32) / nupdates
+        lr_now = jnp.float32(lr) * (frac if lrschedule == "linear" else 1.0)
+        key, env_state, obs, chunk = rollout_chunk(
+            state.params, state.key, state.env_state, state.obs
+        )
+        replay = rb.add_batch(state.replay, chunk)
+        params, avg_params, opt_state, metrics = train_chunk(
+            state.params, state.avg_params, state.opt_state, lr_now, chunk
+        )
+        return (
+            ACERTrainState(
+                params=params, avg_params=avg_params, opt_state=opt_state, key=key,
+                env_state=env_state, obs=obs, replay=replay,
+                update_idx=state.update_idx + 1,
+            ),
+            metrics,
+        )
+
+    def replay_update(state: ACERTrainState):
+        frac = 1.0 - state.update_idx.astype(jnp.float32) / nupdates
+        lr_now = jnp.float32(lr) * (frac if lrschedule == "linear" else 1.0)
+        key, ksample = jax.random.split(state.key)
+        chunk, _ = rb.sample(state.replay, ksample, nenvs)
+        params, avg_params, opt_state, metrics = train_chunk(
+            state.params, state.avg_params, state.opt_state, lr_now, chunk
+        )
+        return state.replace(
+            params=params, avg_params=avg_params, opt_state=opt_state, key=key
+        ), metrics
+
+    state = dealias(
+        ACERTrainState(
+            params=params,
+            avg_params=params,
+            opt_state=tx.init(params),
+            key=key,
+            env_state=env_state,
+            obs=obs,
+            replay=replay,
+            update_idx=jnp.zeros((), jnp.int32),
+        )
+    )
+    if mesh is not None:
+        from baselines_tpu.distributed.mesh import shard_train_state
+
+        state = shard_train_state(mesh, state, nenvs)
+
+    onpolicy_jit = jax.jit(onpolicy_update, donate_argnums=0)
+    replay_jit = jax.jit(replay_update, donate_argnums=0)
+
+    model = Model(policy, state)
+    if load_path is not None:
+        model.load(load_path)
+        state = model.state
+
+    rng = np.random.RandomState(seed if seed is not None else 0)
+    tstart = time.time()
+    for update in range(1, nupdates + 1):
+        state, metrics = onpolicy_jit(state)
+        if replay_ratio > 0 and (update * nenvs * nsteps) >= replay_start:
+            for _ in range(rng.poisson(replay_ratio)):  # acer.py:374-379
+                state, _ = replay_jit(state)
+        if log_interval and (update % log_interval == 0 or update == 1):
+            metrics = jax.device_get(metrics)
+            stats = VecMonitor.get_stats(state.env_state)
+            logger.logkv("total_timesteps", update * nenvs * nsteps)
+            logger.logkv("fps", int(update * nenvs * nsteps / (time.time() - tstart)))
+            logger.logkv("mean_episode_reward", float(stats.mean_return))
+            for k, v in metrics.items():
+                logger.logkv(k, float(v))
+            logger.dumpkvs()
+    model.state = state
+    return model
