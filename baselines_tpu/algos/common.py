@@ -40,9 +40,12 @@ def build_env(
     control] (run.py:86-118: mujoco gets VecNormalize, atari gets
     VecFrameStack — frame stacking is applied by atari-specific factories)."""
     env = make_env(env_id)
-    if reward_scale != 1.0:
-        from baselines_tpu.envs.base import RewardScale
+    from baselines_tpu.envs.base import ClipActions, RewardScale
+    from baselines_tpu.envs.spaces import Box as _Box
 
+    if isinstance(env.action_space, _Box):
+        env = ClipActions(env)  # cmd_util.py:96-99 clips Box actions always
+    if reward_scale != 1.0:
         env = RewardScale(env, reward_scale)
     venv = VecMonitor(VecJaxEnv(env, num_envs))
     env_type = get_env_type(env_id)

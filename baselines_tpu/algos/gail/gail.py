@@ -1,0 +1,307 @@
+"""GAIL — TRPO generator driven by a learned adversary reward, parity with
+baselines/gail/trpo_mpi.py (TRPO loop interleaving `g_step` policy updates
+with `d_step` discriminator updates per iteration; rewards come from the
+TransitionClassifier, not the env) plus optional BC pretraining
+(gail/behavior_clone.py, --pretrained flag of gail/run_mujoco.py).
+
+Structure: one jitted update = rollout (recording env rewards only for
+logging) → adversary reward relabel → GAE → TRPO natural-gradient step
+(reusing algos/trpo machinery) → d_step discriminator Adam updates against
+the expert dataset.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from baselines_tpu.algos.common import Model, build_env, dealias, run_rollout
+from baselines_tpu.algos.gail.adversary import (
+    Discriminator,
+    adversary_loss,
+    adversary_reward,
+)
+from baselines_tpu.algos.gail.behavior_clone import pretrain_bc
+from baselines_tpu.algos.trpo.trpo import cg_solve, merge_params, split_params
+from baselines_tpu.core import logger
+from baselines_tpu.core.math import flatten_tree, unflatten_like
+from baselines_tpu.core.rng import seed_key
+from baselines_tpu.core.running_stats import RunningMeanStd
+from baselines_tpu.data.gae import gae
+from baselines_tpu.envs.vec import VecMonitor
+from baselines_tpu.nn.policy import build_policy
+
+
+@struct.dataclass
+class GAILTrainState:
+    params: Any
+    vf_opt: Any
+    d_params: Any
+    d_opt: Any
+    d_obs_rms: RunningMeanStd
+    key: jax.Array
+    env_state: Any
+    obs: Any
+    last_done: jnp.ndarray
+    iters: jnp.ndarray
+
+
+def _flat01(x):
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def learn(
+    *,
+    env=None,
+    env_id: str | None = None,
+    network: str = "mlp",
+    total_timesteps: int,
+    expert_dataset=None,
+    seed: int | None = None,
+    num_envs: int = 4,
+    timesteps_per_batch: int = 1024,
+    max_kl: float = 0.01,
+    cg_iters: int = 10,
+    gamma: float = 0.995,
+    lam: float = 0.97,
+    ent_coef: float = 0.0,
+    cg_damping: float = 0.1,
+    vf_stepsize: float = 3e-4,
+    vf_iters: int = 3,
+    d_stepsize: float = 3e-4,
+    d_step: int = 1,
+    adversary_hidden_size: int = 100,
+    adversary_entcoeff: float = 1e-3,
+    pretrained: bool = False,
+    bc_max_iters: int = 1000,
+    fvp_subsample: int = 5,
+    log_interval: int = 1,
+    load_path: str | None = None,
+    mesh=None,
+    **network_kwargs,
+) -> Model:
+    """gail/trpo_mpi.learn analog."""
+    assert expert_dataset is not None, "GAIL requires an expert_dataset"
+    venv = env if env is not None else build_env(env_id, num_envs)
+    nenvs = venv.num_envs
+    nsteps = max(timesteps_per_batch // nenvs, 1)
+    nbatch = nsteps * nenvs
+    niters = max(total_timesteps // nbatch, 1)
+
+    policy = build_policy(
+        venv.observation_space, venv.action_space, network,
+        value_network="copy", **network_kwargs,
+    )
+    disc = Discriminator(hidden_size=adversary_hidden_size)
+
+    key = seed_key(seed)
+    key, kreset, kinit, kd = jax.random.split(key, 4)
+    obs, env_state = venv.reset(kreset)
+    params = policy.init(kinit, obs)
+    ac_dim = (
+        venv.action_space.shape[-1]
+        if hasattr(venv.action_space, "shape") and venv.action_space.shape
+        else 1
+    )
+    d_params = disc.init(kd, obs[:1].astype(jnp.float32), jnp.zeros((1, ac_dim)))
+    if pretrained:
+        key, kbc = jax.random.split(key)
+        params = pretrain_bc(policy, params, expert_dataset, kbc, max_iters=bc_max_iters)
+
+    vf_tx = optax.adam(vf_stepsize)
+    d_tx = optax.adam(d_stepsize)
+    _, vf0 = split_params(params)
+
+    def pd_of(pol_params, vf_params, o):
+        pdflat, vf, _ = policy.apply(merge_params(pol_params, vf_params), o)
+        return policy.pdtype.pdfromflat(pdflat), vf
+
+    def update_fn(state: GAILTrainState, exp_obs, exp_acs):
+        key, env_state, obs, _, last_done, traj, last_value = run_rollout(
+            policy, venv, state.params, state.key, state.env_state, state.obs,
+            None, state.last_done, nsteps,
+        )
+        ob = _flat01(traj.obs)
+        ac = _flat01(traj.actions)
+        ac2 = ac if ac.ndim > 1 else ac[:, None].astype(jnp.float32)
+        if hasattr(venv.action_space, "low"):
+            # the discriminator judges the EXECUTED action (envs clip Box
+            # actions, cmd_util.py:96-99) — unbounded raw actions would let
+            # the generator exploit disc extrapolation far off-distribution
+            ac2 = jnp.clip(
+                ac2,
+                jnp.asarray(venv.action_space.low),
+                jnp.asarray(venv.action_space.high),
+            )
+
+        # adversary reward replaces env reward (gail/trpo_mpi.py)
+        adv_rew = adversary_reward(disc, state.d_params, state.d_obs_rms, ob, ac2)
+        rewards = adv_rew.reshape(nsteps, nenvs)
+        advs, tdlamret = gae(
+            rewards, traj.values, traj.dones, last_value, gamma, lam
+        )
+        atarg = _flat01(advs)
+        ret = _flat01(tdlamret)
+        old_neglogp = _flat01(traj.neglogps)
+        atarg = (atarg - atarg.mean()) / (atarg.std() + 1e-8)
+
+        pol_params, vf_params = split_params(state.params)
+        old_pdflat, _, _ = policy.apply(state.params, ob)
+        old_pdflat = jax.lax.stop_gradient(old_pdflat)
+
+        def losses_fn(pp):
+            pd, _ = pd_of(pp, vf_params, ob)
+            neglogp = pd.neglogp(ac)
+            ratio = jnp.exp(old_neglogp - neglogp)
+            surrgain = jnp.mean(ratio * atarg)
+            meankl = jnp.mean(policy.pdtype.pdfromflat(old_pdflat).kl(pd))
+            optimgain = surrgain + ent_coef * jnp.mean(pd.entropy())
+            return optimgain, meankl
+
+        (gain0, kl0), g_tree = jax.value_and_grad(losses_fn, has_aux=True)(pol_params)
+        g = flatten_tree(g_tree)
+
+        ob_s = ob[::fvp_subsample]
+        old_s = old_pdflat[::fvp_subsample]
+
+        def mean_kl_sub(pp):
+            pd, _ = pd_of(pp, vf_params, ob_s)
+            return jnp.mean(policy.pdtype.pdfromflat(old_s).kl(pd))
+
+        kl_grad_fn = jax.grad(mean_kl_sub)
+
+        def hvp(v_flat):
+            v_tree = unflatten_like(v_flat, pol_params)
+            _, hv = jax.jvp(kl_grad_fn, (pol_params,), (v_tree,))
+            return flatten_tree(hv) + cg_damping * v_flat
+
+        stepdir = cg_solve(hvp, g, cg_iters)
+        shs = 0.5 * jnp.dot(stepdir, hvp(stepdir))
+        lm = jnp.sqrt(jnp.maximum(shs / max_kl, 1e-12))
+        fullstep = stepdir / lm
+        th_before = flatten_tree(pol_params)
+
+        def probe(k):
+            stepsize = 0.5**k
+            th_new = th_before + fullstep * stepsize
+            gain, kl = losses_fn(unflatten_like(th_new, pol_params))
+            ok = jnp.isfinite(gain) & (gain - gain0 > 0) & (kl <= max_kl * 1.5)
+            return ok, th_new
+
+        oks, th_news = jax.vmap(probe)(jnp.arange(10, dtype=jnp.float32))
+        any_ok = jnp.any(oks)
+        th_final = jnp.where(any_ok, th_news[jnp.argmax(oks)], th_before)
+        pol_params = unflatten_like(th_final, pol_params)
+
+        # vf fit
+        mbsize = 64
+        nmb = max(nbatch // mbsize, 1)
+
+        def vf_loss_fn(vfp, o, r):
+            _, vpred = pd_of(pol_params, vfp, o)
+            return jnp.mean(jnp.square(vpred - r))
+
+        def vf_epoch(carry, ekey):
+            vfp, opt = carry
+            perm = jax.random.permutation(ekey, nbatch)
+            ob_sh = ob[perm][: nmb * mbsize].reshape(nmb, mbsize, *ob.shape[1:])
+            ret_sh = ret[perm][: nmb * mbsize].reshape(nmb, mbsize)
+
+            def mb(carry, x):
+                vfp, opt = carry
+                grads = jax.grad(vf_loss_fn)(vfp, *x)
+                updates, opt = vf_tx.update(grads, opt, vfp)
+                return (optax.apply_updates(vfp, updates), opt), None
+
+            return jax.lax.scan(mb, (vfp, opt), (ob_sh, ret_sh))
+
+        key, *ekeys = jax.random.split(key, vf_iters + 1)
+        (vf_params, vf_opt), _ = jax.lax.scan(
+            vf_epoch, (vf_params, state.vf_opt), jnp.stack(ekeys)
+        )
+
+        # discriminator updates (d_step per iteration)
+        d_obs_rms = state.d_obs_rms.update(ob.astype(jnp.float32))
+
+        def d_update(carry, _):
+            d_params, d_opt = carry
+            (loss, accs), grads = jax.value_and_grad(
+                lambda dp: adversary_loss(
+                    disc, dp, d_obs_rms, ob.astype(jnp.float32), ac2,
+                    exp_obs.astype(jnp.float32), exp_acs, adversary_entcoeff,
+                ),
+                has_aux=True,
+            )(d_params)
+            updates, d_opt = d_tx.update(grads, d_opt, d_params)
+            return (optax.apply_updates(d_params, updates), d_opt), accs
+
+        (d_params, d_opt), accs = jax.lax.scan(
+            d_update, (state.d_params, state.d_opt), None, length=d_step
+        )
+
+        metrics = {
+            "optimgain": gain0,
+            "meankl": kl0,
+            "adversary_reward_mean": jnp.mean(adv_rew),
+            "true_reward_mean": jnp.mean(traj.rewards),
+            "d_gen_acc": jnp.mean(accs["gen_acc"]),
+            "d_exp_acc": jnp.mean(accs["exp_acc"]),
+            "linesearch_success": any_ok.astype(jnp.float32),
+        }
+        new_state = GAILTrainState(
+            params=merge_params(pol_params, vf_params),
+            vf_opt=vf_opt,
+            d_params=d_params,
+            d_opt=d_opt,
+            d_obs_rms=d_obs_rms,
+            key=key,
+            env_state=env_state,
+            obs=obs,
+            last_done=last_done,
+            iters=state.iters + 1,
+        )
+        return new_state, metrics
+
+    state = dealias(
+        GAILTrainState(
+            params=params,
+            vf_opt=vf_tx.init(vf0),
+            d_params=d_params,
+            d_opt=d_tx.init(d_params),
+            d_obs_rms=RunningMeanStd.create(obs.shape[1:]),
+            key=key,
+            env_state=env_state,
+            obs=obs,
+            last_done=jnp.zeros((nenvs,), bool),
+            iters=jnp.zeros((), jnp.int32),
+        )
+    )
+
+    update = jax.jit(update_fn, donate_argnums=0)
+    model = Model(policy, state)
+    if load_path is not None:
+        model.load(load_path)
+        state = model.state
+
+    tstart = time.time()
+    for it in range(1, niters + 1):
+        key2 = jax.random.fold_in(jax.random.PRNGKey(seed or 0), it)
+        exp_obs, exp_acs = expert_dataset.sample(key2, nbatch)
+        state, metrics = update(state, exp_obs, exp_acs)
+        if log_interval and (it % log_interval == 0 or it == 1):
+            metrics = jax.device_get(metrics)
+            stats = VecMonitor.get_stats(state.env_state)
+            logger.logkv("iters", it)
+            logger.logkv("timesteps", it * nbatch)
+            logger.logkv("EpTrueRewMean", float(stats.mean_return))
+            logger.logkv("fps", int(it * nbatch / (time.time() - tstart)))
+            for k, v in metrics.items():
+                logger.logkv(k, float(v))
+            logger.dumpkvs()
+    model.state = state
+    return model

@@ -1,0 +1,65 @@
+"""GAIL + behavior-cloning tests (reference: gail/ package — TRPO generator
+vs TransitionClassifier adversary, BC pretraining)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baselines_tpu.algos.common import Model, build_env, evaluate
+from baselines_tpu.algos.gail.behavior_clone import pretrain_bc
+from baselines_tpu.algos.gail.dataset import ExpertDataset
+from baselines_tpu.algos.gail.gail import learn as gail_learn
+from baselines_tpu.core import logger
+from baselines_tpu.nn.policy import build_policy
+
+
+@pytest.fixture(autouse=True)
+def quiet_logger():
+    logger.configure(format_strs=[])
+    yield
+    logger.reset()
+
+
+def _identity_expert(n=5000):
+    rng = np.random.RandomState(0)
+    obs = rng.uniform(-1, 1, size=(n, 1)).astype(np.float32)
+    return ExpertDataset(obs=obs, acs=obs.copy())
+
+
+def test_gail_imitates_identity_expert():
+    ds = _identity_expert()
+    model = gail_learn(
+        env_id="BoxIdentity-v0",
+        network="mlp",
+        expert_dataset=ds,
+        seed=0,
+        num_envs=8,
+        timesteps_per_batch=512,
+        gamma=0.9,
+        lam=0.97,
+        max_kl=0.01,
+        d_step=3,
+        log_interval=0,
+        total_timesteps=100_000,
+    )
+    venv = build_env("BoxIdentity-v0", 8)
+    ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(3), nsteps=300)
+    assert ret > -10, f"gail identity imitation return {ret} (random ~-66)"
+
+
+def test_behavior_cloning():
+    ds = _identity_expert()
+    venv = build_env("BoxIdentity-v0", 8)
+    pol = build_policy(venv.observation_space, venv.action_space, "mlp", value_network="copy")
+    params = pol.init(jax.random.PRNGKey(0), jnp.zeros((1, 1)))
+    params = pretrain_bc(pol, params, ds, jax.random.PRNGKey(1), max_iters=2000, lr=1e-3)
+
+    class _S:
+        pass
+
+    s = _S()
+    s.params = params
+    model = Model(pol, s)
+    ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(2), nsteps=300)
+    assert ret > -5, f"bc identity return {ret}"
