@@ -1,0 +1,82 @@
+"""CLI entry point: ``python -m baselines_tpu.run --alg=ppo2 --env=CartPole-v1``.
+
+Parity with baselines/run.py:202-250: env-type detection, per-alg defaults by
+env type, free-form ``--key=value`` hyperparameter overrides, --save_path /
+--load_path, and --play rollout after training.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import sys
+
+from baselines_tpu import algos
+from baselines_tpu.algos.common import build_env, evaluate
+from baselines_tpu.cmd_util import common_arg_parser, parse_cmdline_kwargs
+from baselines_tpu.core import logger
+from baselines_tpu.envs.registry import get_env_type, is_jax_env
+
+
+def _default_network(env_type: str) -> str:
+    """run.py:145-152: cnn for image envs, mlp otherwise."""
+    return "cnn" if env_type in ("atari", "retro") else "mlp"
+
+
+def train(args, extra_args):
+    env_type = args.env_type or get_env_type(args.env)
+    logger.log(f"env_type: {env_type}")
+    total_timesteps = int(args.num_timesteps)
+
+    learn = algos.get_learn_function(args.alg)
+    alg_kwargs = dict(algos.get_defaults(args.alg, env_type))
+    alg_kwargs.update(extra_args)
+    alg_kwargs.setdefault("network", args.network or _default_network(env_type))
+    if args.num_env:
+        alg_kwargs["num_env"] = args.num_env
+
+    # num_env naming: learners take num_envs
+    if "num_env" in alg_kwargs:
+        alg_kwargs["num_envs"] = alg_kwargs.pop("num_env")
+
+    logger.log(f"Training {args.alg} on {args.env} with arguments \n{alg_kwargs}")
+
+    model = learn(
+        env_id=args.env,
+        seed=args.seed,
+        total_timesteps=total_timesteps,
+        load_path=args.load_path,
+        **alg_kwargs,
+    )
+    return model
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    arg_parser = common_arg_parser()
+    args, unknown_args = arg_parser.parse_known_args(argv)
+    extra_args = parse_cmdline_kwargs(unknown_args)
+
+    import jax
+
+    logger.configure_for_process(jax.process_index(), dir=args.log_path)
+
+    model = train(args, extra_args)
+
+    if args.save_path is not None and jax.process_index() == 0:
+        save_path = osp.expanduser(args.save_path)
+        model.save(save_path)
+        logger.log(f"Saved model to {save_path}")
+
+    if args.play:
+        logger.log("Running trained model")
+        venv = build_env(args.env, num_envs=1)
+        ret, length, episodes = evaluate(
+            model, venv, jax.random.PRNGKey(0), nsteps=2000, deterministic=True
+        )
+        logger.log(f"episode_rew mean={ret} len={length} episodes={episodes}")
+
+    return model
+
+
+if __name__ == "__main__":
+    main()

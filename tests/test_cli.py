@@ -1,0 +1,56 @@
+"""CLI smoke tests (reference: common/tests/util.py:81-92 smoketest shells
+out to baselines.run with tiny num_timesteps; test_doc_examples analog)."""
+
+import sys
+
+import pytest
+
+from baselines_tpu import algos
+from baselines_tpu.cmd_util import parse_cmdline_kwargs
+from baselines_tpu.core import logger
+from baselines_tpu.envs.registry import get_env_type
+
+
+@pytest.fixture(autouse=True)
+def quiet_logger():
+    logger.configure(format_strs=[])
+    yield
+    logger.reset()
+
+
+def test_parse_cmdline_kwargs():
+    got = parse_cmdline_kwargs(["--lr=3e-4", "--nsteps", "64", "--name=foo", "--flag=True"])
+    assert got == {"lr": 3e-4, "nsteps": 64, "name": "foo", "flag": True}
+
+
+def test_env_type_detection():
+    assert get_env_type("CartPole-v1") == "classic_control"
+    assert get_env_type("PongNoFrameskip-v4") == "atari"
+    assert get_env_type("HalfCheetah-v4") == "mujoco"
+    assert get_env_type("FetchReach-v1") == "robotics"
+    assert get_env_type("PointReach-v0") == "robotics"
+
+
+def test_algo_registry():
+    for alg in ["ppo2", "deepq", "a2c", "trpo_mpi", "ddpg", "her", "acktr", "acer", "gail"]:
+        assert callable(algos.get_learn_function(alg))
+    assert isinstance(algos.get_defaults("ppo2", "atari"), dict)
+    assert algos.get_defaults("ppo2", "atari")["nsteps"] == 128
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["--alg=ppo2", "--env=CartPole-v1", "--num_timesteps=2048",
+         "--nsteps=32", "--num_env=4", "--log_interval=1000"],
+        ["--alg=a2c", "--env=CartPole-v1", "--num_timesteps=1000",
+         "--num_env=4", "--log_interval=1000"],
+        ["--alg=deepq", "--env=CartPole-v1", "--num_timesteps=1024",
+         "--chunk_size=64", "--learning_starts=100", "--print_freq=0"],
+    ],
+)
+def test_run_smoke(argv):
+    from baselines_tpu.run import main
+
+    model = main(argv)
+    assert model is not None
