@@ -28,6 +28,30 @@ from baselines_tpu.envs.registry import get_env_type, is_jax_env, make_env
 from baselines_tpu.envs.vec import VecJaxEnv, VecMonitor, VecNormalize
 
 
+def make_host_vec_env(env_id: str, num_envs: int, env_type: str):
+    """gymnasium-backed vec env behind the io_callback bridge; Atari ids get
+    the DeepMind wrapper chain + device frame stack."""
+    from baselines_tpu.envs.callback_env import CallbackVecEnv
+    from baselines_tpu.envs.gym_bridge import HostDummyVecEnv, HostSubprocVecEnv
+
+    if env_type == "atari":
+        from baselines_tpu.envs.atari import make_atari_vec_env
+
+        return make_atari_vec_env(env_id, num_envs)
+
+    def thunk():
+        import gymnasium as gym
+
+        return gym.make(env_id)
+
+    host = (
+        HostSubprocVecEnv([thunk] * num_envs)
+        if num_envs > 1
+        else HostDummyVecEnv([thunk])
+    )
+    return CallbackVecEnv(host)
+
+
 def build_env(
     env_id: str,
     num_envs: int,
@@ -39,16 +63,21 @@ def build_env(
     """Standard chain: VecJaxEnv → VecMonitor → [VecNormalize for continuous
     control] (run.py:86-118: mujoco gets VecNormalize, atari gets
     VecFrameStack — frame stacking is applied by atari-specific factories)."""
-    env = make_env(env_id)
-    from baselines_tpu.envs.base import ClipActions, RewardScale
-    from baselines_tpu.envs.spaces import Box as _Box
-
-    if isinstance(env.action_space, _Box):
-        env = ClipActions(env)  # cmd_util.py:96-99 clips Box actions always
-    if reward_scale != 1.0:
-        env = RewardScale(env, reward_scale)
-    venv = VecMonitor(VecJaxEnv(env, num_envs))
     env_type = get_env_type(env_id)
+    if is_jax_env(env_id):
+        env = make_env(env_id)
+        from baselines_tpu.envs.base import ClipActions, RewardScale
+        from baselines_tpu.envs.spaces import Box as _Box
+
+        if isinstance(env.action_space, _Box):
+            env = ClipActions(env)  # cmd_util.py:96-99 clips Box actions always
+        if reward_scale != 1.0:
+            env = RewardScale(env, reward_scale)
+        venv = VecMonitor(VecJaxEnv(env, num_envs))
+    else:
+        # host gymnasium env behind the io_callback bridge; Subproc when
+        # parallel, Dummy otherwise (cmd_util.py:56-59)
+        venv = VecMonitor(make_host_vec_env(env_id, num_envs, env_type))
     if normalize is None:
         normalize = env_type == "mujoco"
     if normalize:
