@@ -60,9 +60,12 @@ def _flat01(x):
 
 
 def make_ppo_loss(policy, ent_coef, vf_coef):
-    def loss_fn(params, batch, cliprange, rnn_init=None):
+    def loss_fn(params, batch, advs, cliprange, rnn_init=None):
         """batch leaves are flat (B, ...) for feedforward; time-major
-        (T, B, ...) plus rnn_init (B, h) for recurrent policies."""
+        (T, B, ...) plus rnn_init (B, h) for recurrent policies.  `advs` are
+        pre-normalized at the MINIBATCH level (model.py:136-139) so gradient
+        microbatching slices them without renormalizing
+        (microbatched_model.py:35-75 contract)."""
         obs, actions, returns, old_values, old_neglogps, rnn_masks = batch
         if rnn_init is not None:
 
@@ -74,18 +77,16 @@ def make_ppo_loss(policy, ent_coef, vf_coef):
             _, (pdflat, vpred) = jax.lax.scan(step, rnn_init, (obs, rnn_masks))
             pdflat = _flat01(pdflat)
             vpred = _flat01(vpred)
-            actions, returns, old_values, old_neglogps = (
+            actions, returns, old_values, old_neglogps, advs = (
                 _flat01(actions),
                 _flat01(returns),
                 _flat01(old_values),
                 _flat01(old_neglogps),
+                _flat01(advs),
             )
         else:
             pdflat, vpred, _ = policy.apply(params, obs)
         pd = policy.pdtype.pdfromflat(pdflat)
-
-        advs = returns - old_values
-        advs = (advs - advs.mean()) / (advs.std() + 1e-8)  # per-minibatch, model.py:136-139
 
         neglogpac = pd.neglogp(actions)
         entropy = jnp.mean(pd.entropy())
@@ -115,6 +116,11 @@ def make_ppo_loss(policy, ent_coef, vf_coef):
     return loss_fn
 
 
+def _normalize_advs(returns, values):
+    advs = returns - values
+    return (advs - advs.mean()) / (advs.std() + 1e-8)
+
+
 def make_update_fn(
     policy,
     venv,
@@ -130,6 +136,7 @@ def make_update_fn(
     lr_fn,
     cliprange_fn,
     nupdates,
+    microbatch_size=None,
 ):
     nenvs = venv.num_envs
     loss_fn = make_ppo_loss(policy, ent_coef, vf_coef)
@@ -139,6 +146,30 @@ def make_update_fn(
         assert nenvs % nminibatches == 0, (
             "recurrent PPO needs nminibatches to divide num_envs (ppo2/ppo2.py:107)"
         )
+        assert microbatch_size is None, "microbatching + recurrence unsupported"
+
+    def minibatch_grads(params, mb_batch, cliprange, mb_rnn):
+        """Gradient of one minibatch, optionally accumulated over
+        microbatches (MicrobatchedModel, ppo2/microbatched_model.py:35-75)."""
+        _, _, mb_returns, mb_values, _, _ = mb_batch
+        advs = _normalize_advs(mb_returns, mb_values)
+        if microbatch_size is None:
+            (_, metrics), grads = grad_fn(params, mb_batch, advs, cliprange, mb_rnn)
+            return grads, metrics
+        nmicro = mb_returns.shape[0] // microbatch_size
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((nmicro, microbatch_size) + x.shape[1:]),
+            (mb_batch, advs),
+        )
+
+        def micro_step(_, x):
+            m_batch, m_advs = x
+            (_, metrics), grads = grad_fn(params, m_batch, m_advs, cliprange, None)
+            return None, (grads, metrics)
+
+        _, (grads, metrics) = jax.lax.scan(micro_step, None, micro)
+        mean = lambda t: jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), t)
+        return mean(grads), mean(metrics)
 
     def update_fn(state: PPOTrainState):
         frac = 1.0 - state.update_idx.astype(jnp.float32) / nupdates
@@ -167,7 +198,7 @@ def make_update_fn(
             def mb_step(carry, mb):
                 params, opt_state = carry
                 mb_batch, mb_rnn = mb
-                (_, metrics), grads = grad_fn(params, mb_batch, cliprange, mb_rnn)
+                grads, metrics = minibatch_grads(params, mb_batch, cliprange, mb_rnn)
                 params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
                 return (params, opt_state), metrics
 
@@ -188,7 +219,7 @@ def make_update_fn(
 
             def mb_step(carry, mb_batch):
                 params, opt_state = carry
-                (_, metrics), grads = grad_fn(params, mb_batch, cliprange, None)
+                grads, metrics = minibatch_grads(params, mb_batch, cliprange, None)
                 params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
                 return (params, opt_state), metrics
 
@@ -247,6 +278,7 @@ def learn(
     save_interval: int = 0,
     load_path: str | None = None,
     value_network: str | None = None,
+    microbatch_size: int | None = None,
     mesh=None,
     **network_kwargs,
 ) -> Model:
@@ -306,6 +338,7 @@ def learn(
             lr_fn=resolve_fraction_schedule(lr),
             cliprange_fn=resolve_fraction_schedule(cliprange),
             nupdates=nupdates,
+            microbatch_size=microbatch_size,
         ),
         donate_argnums=0,
     )

@@ -86,6 +86,29 @@ class CartPole(JaxEnv):
         return self._obs(new_state), new_state, reward, done, {}
 
 
+    def render_frame(self, state: CartPoleState, width: int = 600, height: int = 400):
+        """Host-side rendering for video capture (gym CartPoleEnv-style
+        drawing, simplified)."""
+        frame = np.full((height, width, 3), 255, np.uint8)
+        world_width = self.X_THRESHOLD * 2
+        scale = width / world_width
+        carty = int(height * 0.8)
+        cartx = int(float(state.x) * scale + width / 2.0)
+        # track
+        frame[carty + 20 : carty + 22, :] = 0
+        # cart
+        frame[carty : carty + 20, max(cartx - 30, 0) : min(cartx + 30, width)] = (0, 0, 0)
+        # pole
+        pole_len = int(scale * self.LENGTH * 2)
+        theta = float(state.theta)
+        for r in range(pole_len):
+            px = int(cartx + np.sin(theta) * r)
+            py = int(carty - np.cos(theta) * r)
+            if 0 <= px < width - 3 and 0 <= py < height - 3:
+                frame[py : py + 3, px : px + 3] = (202, 152, 101)
+        return frame
+
+
 def make_cartpole(version: int = 1) -> JaxEnv:
     """CartPole-v0 (200 steps) / CartPole-v1 (500 steps)."""
     return TimeLimit(CartPole(), 200 if version == 0 else 500)
