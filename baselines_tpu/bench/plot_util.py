@@ -266,5 +266,9 @@ def plot_results(
         if ylabel is not None:
             ax.set_ylabel(ylabel)
     if any(g2l.keys()):
-        f.legend(g2l.values(), g2l.keys(), loc="center right" if legend_outside else "best")
+        f.legend(
+            g2l.values(),
+            g2l.keys(),
+            loc="center right" if legend_outside else "upper right",
+        )
     return f, axarr
