@@ -82,3 +82,7 @@ register_env("MultiDiscreteIdentity-v0", "testing")(
     lambda: MultiDiscreteIdentityEnv((3, 3))
 )
 register_env("FixedSequence-v0", "testing")(lambda: FixedSequenceEnv())
+
+from baselines_tpu.envs.testing.atari_sim import AtariSim
+
+register_env("AtariSim-v0", "testing")(lambda: AtariSim())
