@@ -6,6 +6,9 @@ from importlib import import_module
 _ALGOS = {
     "ppo2": "baselines_tpu.algos.ppo.ppo",
     "ppo": "baselines_tpu.algos.ppo.ppo",
+    # ppo1 is the reference's obsolete first-gen PPO (baselines/ppo1);
+    # ppo2 supersedes it with the same objective — alias for CLI parity
+    "ppo1": "baselines_tpu.algos.ppo.ppo",
     "deepq": "baselines_tpu.algos.dqn.dqn",
     "dqn": "baselines_tpu.algos.dqn.dqn",
     "a2c": "baselines_tpu.algos.a2c.a2c",

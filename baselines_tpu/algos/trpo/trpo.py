@@ -67,27 +67,12 @@ def _flat01(x):
     return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
 
+from baselines_tpu.core.cg import cg
+
+
 def cg_solve(hvp, b, cg_iters: int, residual_tol: float = 1e-10):
-    """Conjugate gradient (common/cg.py:2-34) as a lax loop."""
-
-    def body(_, carry):
-        x, r, p, rdotr = carry
-        z = hvp(p)
-        v = rdotr / jnp.maximum(jnp.dot(p, z), 1e-12)
-        x = x + v * p
-        r = r - v * z
-        newrdotr = jnp.dot(r, r)
-        mu = newrdotr / jnp.maximum(rdotr, 1e-12)
-        p = r + mu * p
-        # freeze once converged (mirrors early-exit at cg.py:27-29)
-        done = newrdotr < residual_tol
-        return jax.tree_util.tree_map(
-            lambda new, old: jnp.where(done, old, new), (x, r, p, newrdotr), carry
-        )
-
-    x0 = jnp.zeros_like(b)
-    out = jax.lax.fori_loop(0, cg_iters, body, (x0, b, b, jnp.dot(b, b)))
-    return out[0]
+    """Conjugate gradient (common/cg.py:2-34; implementation in core/cg.py)."""
+    return cg(hvp, b, cg_iters, residual_tol)
 
 
 def learn(
