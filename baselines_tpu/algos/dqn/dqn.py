@@ -133,6 +133,8 @@ class DQNTrainState:
     replay: Any
     t: jnp.ndarray  # total env steps so far (int32)
     n_target_syncs: jnp.ndarray
+    perturbed_params: Any  # param-noise actor copy (build_graph.py:202-314)
+    param_noise_scale: jnp.ndarray
 
 
 def learn(
@@ -160,6 +162,7 @@ def learn(
     prioritized_replay_eps: float = 1e-6,
     double_q: bool = True,
     dueling: bool = True,
+    param_noise: bool = False,
     hiddens: Sequence[int] = (256,),
     layer_norm: bool = False,
     grad_norm_clipping: float = 10.0,
@@ -223,9 +226,13 @@ def learn(
     grad_fn = jax.grad(td_loss, has_aux=True)
 
     def iteration(state: DQNTrainState, _):
-        key, kact, kstep, ksample = jax.random.split(state.key, 4)
+        key, kact, kstep, ksample, kperturb = jax.random.split(state.key, 5)
         eps = exploration.value(state.t)
-        action = policy.eps_greedy(state.params, kact, state.obs, eps)
+        if param_noise:
+            # greedy w.r.t. the perturbed network, eps=0 (deepq.py:265-277)
+            action = policy.eps_greedy(state.perturbed_params, kact, state.obs, 0.0)
+        else:
+            action = policy.eps_greedy(state.params, kact, state.obs, eps)
         nobs, env_state, rew, done, info = venv.step(kstep, state.env_state, action)
         transition = {
             "obs": state.obs,
@@ -263,6 +270,36 @@ def learn(
             (state.params, state.opt_state, replay),
         )
 
+        perturbed_params = state.perturbed_params
+        param_noise_scale = state.param_noise_scale
+        if param_noise:
+            from baselines_tpu.algos.ddpg.noise import perturb_params as _perturb
+
+            # adapt scale toward the eps-equivalent KL threshold
+            # (Plappert et al. App C.1; deepq.py:270-276)
+            threshold = -jnp.log(
+                1.0 - eps + eps / n_actions
+            )
+
+            def adapt_and_perturb(args):
+                scale, perturbed = args
+                test = _perturb(kperturb, params, scale)
+                p_ref = jax.nn.softmax(policy.q_values(params, state.obs))
+                p_pert = jax.nn.softmax(policy.q_values(test, state.obs))
+                kl = jnp.mean(
+                    jnp.sum(p_ref * (jnp.log(p_ref + 1e-8) - jnp.log(p_pert + 1e-8)), -1)
+                )
+                scale = jnp.where(kl < threshold, scale * 1.01, scale / 1.01)
+                return scale, _perturb(kperturb, params, scale)
+
+            # re-perturb whenever an episode resets (reset kwarg semantics)
+            param_noise_scale, perturbed_params = jax.lax.cond(
+                jnp.any(done),
+                adapt_and_perturb,
+                lambda args: args,
+                (param_noise_scale, perturbed_params),
+            )
+
         # hard target sync every target_network_update_freq env steps
         want_syncs = (t // target_network_update_freq).astype(jnp.int32)
         do_sync = want_syncs > state.n_target_syncs
@@ -280,6 +317,8 @@ def learn(
             replay=replay,
             t=t,
             n_target_syncs=jnp.where(do_sync, want_syncs, state.n_target_syncs),
+            perturbed_params=perturbed_params,
+            param_noise_scale=param_noise_scale,
         )
         return new_state, None
 
@@ -300,6 +339,8 @@ def learn(
             replay=replay,
             t=jnp.zeros((), jnp.int32),
             n_target_syncs=jnp.zeros((), jnp.int32),
+            perturbed_params=params,
+            param_noise_scale=jnp.asarray(0.01, jnp.float32),
         )
     )
     if mesh is not None:

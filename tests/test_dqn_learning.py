@@ -61,3 +61,28 @@ def test_dqn_cartpole_prioritized_dueling():
     venv = build_env("CartPole-v1", 8)
     ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(1), nsteps=600)
     assert ret >= 150, f"dqn cartpole mean return {ret}"
+
+
+def test_dqn_param_noise():
+    """deepq param-noise exploration path (build_graph.py:202-314)."""
+    model = learn(
+        env_id="CartPole-v1",
+        network="mlp",
+        total_timesteps=100_000,
+        seed=0,
+        num_envs=4,
+        lr=1e-3,
+        gamma=0.99,
+        exploration_fraction=0.2,
+        learning_starts=1000,
+        train_freq=2,
+        batch_size=64,
+        target_network_update_freq=500,
+        param_noise=True,
+        layer_norm=True,
+        chunk_size=250,
+        print_freq=0,
+    )
+    venv = build_env("CartPole-v1", 8)
+    ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(1), nsteps=600)
+    assert ret >= 150, f"param-noise dqn cartpole mean return {ret}"
