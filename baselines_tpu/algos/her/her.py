@@ -96,6 +96,12 @@ def learn(
     noise_eps: float = 0.2,
     random_eps: float = 0.3,
     norm_clip: float = 5.0,
+    bc_loss: bool = False,
+    q_filter: bool = False,
+    demo_episodes=None,  # (o (E,T+1,do), ag (E,T+1,dg), g (E,T,dg), u (E,T,du))
+    demo_batch_size: int = 128,
+    prm_loss_weight: float = 0.001,
+    aux_loss_weight: float = 0.0078,
     log_interval: int = 1,
     load_path: str | None = None,
     num_hidden: int = 256,
@@ -142,6 +148,19 @@ def learn(
     critic_tx = optax.adam(q_lr)
 
     buffer = HerReplayBuffer(buffer_size_episodes, T, {"o": do, "g": dg, "u": du})
+
+    # demonstration buffer (her/ddpg.py:107,160-215): a second episodic
+    # buffer sampled alongside replay when bc_loss is on
+    demo_buffer_state = None
+    if bc_loss:
+        assert demo_episodes is not None, "bc_loss requires demo_episodes"
+        d_o, d_ag, d_g, d_u = demo_episodes
+        n_demo = d_o.shape[0]
+        demo_buffer = HerReplayBuffer(n_demo, T, {"o": do, "g": dg, "u": du})
+        demo_buffer_state = demo_buffer.store_episodes(
+            demo_buffer.init(), jax.random.PRNGKey(0),
+            jnp.asarray(d_o), jnp.asarray(d_ag), jnp.asarray(d_g), jnp.asarray(d_u),
+        )
 
     def norm(rms, x):
         return rms.normalize(x, clip=norm_clip)
@@ -207,11 +226,33 @@ def learn(
         cupd, critic_opt = critic_tx.update(cgrads, state.critic_opt, state.critic_params)
         critic_params = optax.apply_updates(state.critic_params, cupd)
 
+        if bc_loss:
+            kdemo = jax.random.fold_in(key, 777)
+            demo = demo_buffer.sample(
+                demo_buffer_state, kdemo, demo_batch_size, 0.0, base_env.compute_reward
+            )  # replay_k=0: keep original goals for demos
+
         def aloss(ap):
             a = pi(ap, state.o_rms, state.g_rms, o, g)
-            return -jnp.mean(
+            main = -jnp.mean(
                 q(critic_params, state.o_rms, state.g_rms, o, g, a)
             ) + action_l2 * jnp.mean(jnp.square(a))
+            if not bc_loss:
+                return main
+            # behavior cloning on demos with optional Q-filter
+            # (her/ddpg.py:361-377): imitate only where the critic thinks
+            # the demo action beats the actor's
+            a_demo = pi(ap, state.o_rms, state.g_rms, demo["o"], demo["g"])
+            if q_filter:
+                q_demo = q(critic_params, state.o_rms, state.g_rms,
+                           demo["o"], demo["g"], demo["u"])
+                q_actor = q(critic_params, state.o_rms, state.g_rms,
+                            demo["o"], demo["g"], a_demo)
+                mask = (q_demo > q_actor).astype(jnp.float32)[:, None]
+            else:
+                mask = 1.0
+            cloning = jnp.sum(jnp.square((a_demo - demo["u"]) * mask))
+            return prm_loss_weight * main + aux_loss_weight * cloning
 
         agrads = jax.grad(aloss)(state.actor_params)
         aupd, actor_opt = actor_tx.update(agrads, state.actor_opt, state.actor_params)
