@@ -3,7 +3,7 @@ acktr_cont; modern acktr defaults live in the learn signature)."""
 
 
 def mujoco():
-    return dict(nsteps=2500, value_network="copy")
+    return dict(nsteps=2500)
 
 
 def classic_control():
