@@ -49,87 +49,166 @@ def _ortho(key, shape, scale):
     return scale * q[: shape[0], : shape[1]]
 
 
+class _DenseSpec:
+    kind = "dense"
+
+    def __init__(self, din, dout, act):
+        self.din, self.dout, self.act = din, dout, act
+        self.factor_dims = (din, dout)
+
+
+class _ConvSpec:
+    kind = "conv"
+
+    def __init__(self, k, stride, cin, cout, hin, win, act):
+        self.k, self.stride, self.cin, self.cout = k, stride, cin, cout
+        self.hout = (hin - k) // stride + 1
+        self.wout = (win - k) // stride + 1
+        # conv_general_dilated_patches orders the patch vector (cin, kh, kw)
+        self.factor_dims = (cin * k * k, cout)
+        self.act = act
+
+
+_ACTS = {"tanh": jnp.tanh, "relu": jax.nn.relu, None: lambda x: x}
+
+
 class KfacPolicyNet:
-    """Explicit dense stack: obs -> hidden tanh layers -> (pi head, vf head).
+    """Explicit layer stack (dense or conv trunk) -> (pi head, vf head) with
+    structural K-FAC factor registration.
+
     Params: {"layers": [(W,b)..], "pi": (W,b), "vf": (W,b), ["logstd"]}.
-    Forward returns per-dense-layer (input, pre-activation) taps for K-FAC.
+    Dense layers use the classic Kronecker factors; conv layers use KFC
+    (im2col patches × per-location grads — see kfac.py module docstring).
+    network ∈ {"mlp", "cnn", "cnn_small"} mirrors the reference acktr's
+    policy surface (acktr/acktr.py:95 `network` kwarg → models.py builders).
     """
 
-    def __init__(self, ob_space, ac_space, num_hidden=64, num_layers=2):
+    def __init__(
+        self, ob_space, ac_space, network="mlp", num_hidden=64, num_layers=2
+    ):
         self.ob_space = ob_space
         self.ac_space = ac_space
+        self.network = network
         self.pdtype = make_pdtype(ac_space)
-        self.num_hidden = num_hidden
-        self.num_layers = num_layers
         self.continuous = isinstance(ac_space, Box)
-        probe = encode_observation(ob_space, self._dummy_obs())
-        self.obs_dim = int(np.prod(probe.shape[1:]))
         if self.continuous:
             self.pi_dim = self.pdtype.param_size // 2
         else:
             self.pi_dim = self.pdtype.param_size
-        # (din, dout) for K-FAC factor allocation: hiddens + pi + vf
-        self.layer_dims = (
-            [(self.obs_dim, num_hidden)]
-            + [(num_hidden, num_hidden)] * (num_layers - 1)
-            + [(num_hidden, self.pi_dim), (num_hidden, 1)]
-        )
+        probe = encode_observation(ob_space, self._dummy_obs())
+        specs = []
+        if network == "mlp":
+            self.conv_input = False
+            din = int(np.prod(probe.shape[1:]))
+            for _ in range(num_layers):
+                specs.append(_DenseSpec(din, num_hidden, "tanh"))
+                din = num_hidden
+        elif network in ("cnn", "cnn_small"):
+            if probe.ndim != 4:
+                raise ValueError(f"acktr network={network!r} needs HWC image obs")
+            self.conv_input = True
+            h, w, c = probe.shape[1:]
+            stack = (
+                [(32, 8, 4), (64, 4, 2), (64, 3, 1)]
+                if network == "cnn"
+                else [(8, 8, 4), (16, 4, 2)]
+            )
+            for cout, k, stride in stack:
+                spec = _ConvSpec(k, stride, c, cout, h, w, "relu")
+                specs.append(spec)
+                h, w, c = spec.hout, spec.wout, cout
+            din = h * w * c
+            specs.append(_DenseSpec(din, 512 if network == "cnn" else 128, "relu"))
+            din = specs[-1].dout
+        else:
+            raise ValueError(
+                f"acktr supports network in ('mlp','cnn','cnn_small'), got {network!r}"
+            )
+        specs.append(_DenseSpec(din, self.pi_dim, None))  # pi head
+        specs.append(_DenseSpec(din, 1, None))  # vf head
+        self.specs = specs
+        self.layer_dims = [s.factor_dims for s in specs]
 
     def _dummy_obs(self):
         from baselines_tpu.envs.spaces import Discrete
 
         if isinstance(self.ob_space, Discrete):
             return jnp.zeros((1,), jnp.int32)
-        return jnp.zeros((1,) + self.ob_space.shape)
+        return jnp.zeros((1,) + self.ob_space.shape, self.ob_space.dtype)
+
+    def _encode(self, obs):
+        x = encode_observation(self.ob_space, obs)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        else:
+            x = x.astype(jnp.float32)
+        if not self.conv_input:
+            x = x.reshape((x.shape[0], -1))
+        return x
+
+    def _init_weight(self, key, spec, scale):
+        if spec.kind == "dense":
+            return _ortho(key, (spec.din, spec.dout), scale)
+        fdin = spec.cin * spec.k * spec.k
+        w = _ortho(key, (fdin, spec.cout), scale)
+        return w.reshape(spec.cin, spec.k, spec.k, spec.cout).transpose(1, 2, 0, 3)
 
     def init(self, key):
-        keys = jax.random.split(key, self.num_layers + 2)
+        keys = jax.random.split(key, len(self.specs))
         layers = []
-        din = self.obs_dim
-        for i in range(self.num_layers):
+        for i, spec in enumerate(self.specs[:-2]):
             layers.append(
                 (
-                    _ortho(keys[i], (din, self.num_hidden), np.sqrt(2.0)),
-                    jnp.zeros((self.num_hidden,)),
+                    self._init_weight(keys[i], spec, np.sqrt(2.0)),
+                    jnp.zeros((spec.factor_dims[1],)),
                 )
             )
-            din = self.num_hidden
         params = {
             "layers": layers,
             "pi": (
-                _ortho(keys[-2], (din, self.pi_dim), 0.01),
+                self._init_weight(keys[-2], self.specs[-2], 0.01),
                 jnp.zeros((self.pi_dim,)),
             ),
-            "vf": (_ortho(keys[-1], (din, 1), 1.0), jnp.zeros((1,))),
+            "vf": (self._init_weight(keys[-1], self.specs[-1], 1.0), jnp.zeros((1,))),
         }
         if self.continuous:
             params["logstd"] = jnp.zeros((1, self.pi_dim))
         return params
 
-    def forward(self, params, obs, taps=None):
-        """Returns (pdflat, vf, acts) where acts[i] is the input to dense
-        layer i; `taps` (same structure as pre-activations) enables dL/ds
-        extraction via grad-wrt-taps."""
-        x = encode_observation(self.ob_space, obs)
-        x = x.reshape((x.shape[0], -1))
-        acts = []
-        k = 0
-        for W, b in params["layers"]:
-            acts.append(x)
+    def _apply_layer(self, spec, W, b, x, tap):
+        if spec.kind == "conv":
+            s = jax.lax.conv_general_dilated(
+                x, W, (spec.stride, spec.stride), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+        else:
+            if x.ndim > 2:
+                x = x.reshape((x.shape[0], -1))
             s = x @ W + b
-            if taps is not None:
-                s = s + taps[k]
-            k += 1
-            x = jnp.tanh(s)
-        acts.append(x)
-        s_pi = x @ params["pi"][0] + params["pi"][1]
-        if taps is not None:
-            s_pi = s_pi + taps[k]
-        k += 1
-        acts.append(x)
-        s_vf = x @ params["vf"][0] + params["vf"][1]
-        if taps is not None:
-            s_vf = s_vf + taps[k]
+        if tap is not None:
+            s = s + tap
+        return x, s  # x is the (possibly flattened) layer input
+
+    def forward(self, params, obs, taps=None):
+        """Returns (pdflat, vf, acts) where acts[i] is the input to layer i
+        (2D for dense, NHWC for conv); `taps` (same structure as
+        pre-activations) enables dL/ds extraction via grad-wrt-taps."""
+        x = self._encode(obs)
+        acts = []
+        for i, (spec, (W, b)) in enumerate(zip(self.specs[:-2], params["layers"])):
+            tap = taps[i] if taps is not None else None
+            a_in, s = self._apply_layer(spec, W, b, x, tap)
+            acts.append(a_in)
+            x = _ACTS[spec.act](s)
+        k = len(self.specs) - 2
+        a_in, s_pi = self._apply_layer(
+            self.specs[-2], *params["pi"], x, taps[k] if taps is not None else None
+        )
+        acts.append(a_in)
+        a_in, s_vf = self._apply_layer(
+            self.specs[-1], *params["vf"], x, taps[k + 1] if taps is not None else None
+        )
+        acts.append(a_in)
         vf = s_vf[:, 0]
         if self.continuous:
             pdflat = jnp.concatenate(
@@ -140,9 +219,55 @@ class KfacPolicyNet:
         return pdflat, vf, acts
 
     def zero_taps(self, batch: int):
-        return [
-            jnp.zeros((batch, dout)) for _, dout in self.layer_dims
-        ]
+        out = []
+        for spec in self.specs:
+            if spec.kind == "conv":
+                out.append(jnp.zeros((batch, spec.hout, spec.wout, spec.cout)))
+            else:
+                out.append(jnp.zeros((batch, spec.factor_dims[1])))
+        return out
+
+    def layer_stats(self, acts, ds):
+        """(a2d, g2d) row matrices per layer for kfac.update_stats.
+
+        Dense: rows are samples, per-sample grads = B·(mean-loss grads).
+        Conv (KFC): rows are (sample, location) pairs — im2col patches and
+        per-location grads; the |T| factor of F ≈ |T|·A⊗S is folded into
+        the grad rows as √T.
+        """
+        batch = ds[-1].shape[0]
+        rows = []
+        for spec, a, g in zip(self.specs, acts, ds):
+            if spec.kind == "conv":
+                p = jax.lax.conv_general_dilated_patches(
+                    a, (spec.k, spec.k), (spec.stride, spec.stride), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                t = spec.hout * spec.wout
+                rows.append(
+                    (
+                        p.reshape(-1, spec.factor_dims[0]),
+                        g.reshape(-1, spec.cout) * (batch * np.sqrt(t)),
+                    )
+                )
+            else:
+                rows.append((a, g * batch))
+        return rows
+
+    def precondition(self, kfac_layers, layer_grads, epsilon):
+        """F⁻¹g per layer, returning (pW, pb) in parameter shapes."""
+        out = []
+        for spec, layer, (gW, gb) in zip(self.specs, kfac_layers, layer_grads):
+            if spec.kind == "conv":
+                g2 = gW.transpose(2, 0, 1, 3).reshape(spec.factor_dims[0], spec.cout)
+                pW2, pb = precondition_layer(layer, g2, gb, epsilon)
+                pW = pW2.reshape(spec.cin, spec.k, spec.k, spec.cout).transpose(
+                    1, 2, 0, 3
+                )
+            else:
+                pW, pb = precondition_layer(layer, gW, gb, epsilon)
+            out.append((pW, pb))
+        return out
 
     def layer_grads(self, grads):
         """Flatten param grads into per-K-FAC-layer (gW, gb) list + rest."""
@@ -234,16 +359,13 @@ def learn(
     **network_kwargs,
 ) -> Model:
     """acktr.learn analog (acktr/acktr.py:95-158 signature/defaults)."""
-    assert network == "mlp", (
-        "acktr currently supports dense K-FAC (network='mlp'); conv factors TBD"
-    )
     venv = env if env is not None else build_env(env_id, num_envs)
     nenvs = venv.num_envs
     nbatch = nenvs * nsteps
     nupdates = max(total_timesteps // nbatch, 1)
 
     net = KfacPolicyNet(
-        venv.observation_space, venv.action_space, num_hidden, num_layers
+        venv.observation_space, venv.action_space, network, num_hidden, num_layers
     )
     policy = KfacPolicy(net)
 
@@ -313,7 +435,7 @@ def learn(
         vf_noise = jax.random.normal(knoise, (nbatch,))
         _, _, acts = net.forward(state.params, ob)
         ds = jax.grad(fisher_loss, argnums=1)(state.params, taps, ob, ac, vf_noise)
-        kfac = update_stats(state.kfac, acts, ds, stats_decay)
+        kfac = update_stats(state.kfac, net.layer_stats(acts, ds), stats_decay)
         kfac = jax.lax.cond(
             kfac.step % kfac_update == 0,
             update_eigs,
@@ -323,10 +445,7 @@ def learn(
 
         # precondition the training grads layer-wise
         layer_grads = net.layer_grads(grads)
-        precond = [
-            precondition_layer(l, gW, gb, epsilon)
-            for l, (gW, gb) in zip(kfac.layers, layer_grads)
-        ]
+        precond = net.precondition(kfac.layers, layer_grads, epsilon)
         # KL trust-radius clip (kfac.py:618-801): vFv ≈ Σ precond·grad · lr²
         vFv = sum(
             jnp.sum(pW * gW) + jnp.sum(pb * gb)

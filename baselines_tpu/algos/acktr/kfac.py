@@ -25,6 +25,14 @@ per-sample ds-gradient g (B,dout):
     S = E[g gᵀ]
     F ≈ A ⊗ S;  F⁻¹grad = Q_A ((Q_Aᵀ G Q_S) / (λ_A λ_Sᵀ + ε)) Q_Sᵀ
 with G the (din+1, dout) stacked [W; b] gradient.
+
+Conv layers use the KFC approximation (Grosse & Martens 2016; the
+reference's conv-factor path is kfac.py:205-318): treat every spatial
+location as a pseudo-sample — A = E_{b,t}[p̃ p̃ᵀ] over im2col patch vectors
+p (k²·cin), S = |T|·E_{b,t}[g gᵀ] over per-location pre-activation
+gradients, F ≈ A ⊗ S for the (k²·cin+1, cout) reshaped kernel.  The
+caller flattens (patches, grads) to 2D rows with scaling folded in, so
+`update_stats`/`precondition_layer` below are layout-agnostic.
 """
 
 from __future__ import annotations
@@ -73,21 +81,23 @@ def init_kfac(layer_dims: List[Tuple[int, int]], params) -> KFACState:
 
 
 def update_stats(
-    state: KFACState, acts: List[jnp.ndarray], ds_grads: List[jnp.ndarray],
+    state: KFACState,
+    layer_rows: List[Tuple[jnp.ndarray, jnp.ndarray]],
     stats_decay: float = 0.99,
 ) -> KFACState:
     """EMA the factor statistics from one fisher-loss backward pass.
 
-    acts[i]: (B, din) layer inputs; ds_grads[i]: (B, dout) gradients of the
-    MEAN fisher loss wrt pre-activations (so per-sample grads are B×larger).
+    layer_rows[i] = (a2d, g2d): 2D row matrices for layer i — (N, din)
+    inputs/patches and (N, dout) pre-activation gradients, with any
+    per-sample / per-location scaling already folded in by the caller
+    (see KfacNet.layer_stats).  A gets a homogeneous column for the bias.
     """
     new_layers = []
-    for layer, a, g in zip(state.layers, acts, ds_grads):
-        B = a.shape[0]
-        a_h = jnp.concatenate([a, jnp.ones((B, 1), a.dtype)], axis=1)
-        A_new = (a_h.T @ a_h) / B
-        g_per_sample = g * B
-        S_new = (g_per_sample.T @ g_per_sample) / B
+    for layer, (a, g) in zip(state.layers, layer_rows):
+        n = a.shape[0]
+        a_h = jnp.concatenate([a, jnp.ones((n, 1), a.dtype)], axis=1)
+        A_new = (a_h.T @ a_h) / n
+        S_new = (g.T @ g) / n
         A = stats_decay * layer.A + (1 - stats_decay) * A_new
         S = stats_decay * layer.S + (1 - stats_decay) * S_new
         new_layers.append(layer.replace(A=A, S=S))

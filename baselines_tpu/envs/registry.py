@@ -65,6 +65,7 @@ from baselines_tpu.envs.goal.point_reach import make_point_reach
 from baselines_tpu.envs.testing.identity import (
     BoxIdentityEnv,
     DiscreteIdentityEnv,
+    ImageIdentityEnv,
     MultiDiscreteIdentityEnv,
 )
 from baselines_tpu.envs.testing.fixed_sequence import FixedSequenceEnv
@@ -81,6 +82,7 @@ register_env("BoxIdentity-v0", "testing")(lambda: BoxIdentityEnv((1,)))
 register_env("MultiDiscreteIdentity-v0", "testing")(
     lambda: MultiDiscreteIdentityEnv((3, 3))
 )
+register_env("ImageIdentity-v0", "testing")(lambda: ImageIdentityEnv())
 register_env("FixedSequence-v0", "testing")(lambda: FixedSequenceEnv())
 
 from baselines_tpu.envs.testing.atari_sim import AtariSim

@@ -82,6 +82,34 @@ class MultiDiscreteIdentityEnv(_IdentityBase):
         return jnp.all(action == target).astype(jnp.float32)
 
 
+class ImageIdentityEnv(_IdentityBase):
+    """Discrete identity with image observations — the target class is drawn
+    as a bright vertical stripe in a (size, size, 1) frame.  Fills the role
+    of the reference's MnistEnv (common/tests/envs/mnist_env.py:10-71):
+    classification-as-RL for exercising CNN policies without a dataset.
+    """
+
+    def __init__(self, dim: int = 4, size: int = 24, episode_len: int = 100):
+        super().__init__(episode_len)
+        self.dim = dim
+        self.size = size
+        self.observation_space = Box(0.0, 1.0, (size, size, 1))
+        self.action_space = Discrete(dim)
+
+    def _sample_target(self, key):
+        return jax.random.randint(key, (), 0, self.dim, dtype=jnp.int32)
+
+    def _reward(self, target, action):
+        return (action == target).astype(jnp.float32)
+
+    def _obs(self, target):
+        stripe = self.size // self.dim
+        cols = jnp.arange(self.size)
+        on = (cols >= target * stripe) & (cols < (target + 1) * stripe)
+        frame = jnp.broadcast_to(on.astype(jnp.float32), (self.size, self.size))
+        return frame[..., None]
+
+
 class BoxIdentityEnv(_IdentityBase):
     """obs in [-1,1]^shape; reward = -||action - obs||^2
     (identity_env.py BoxIdentityEnv)."""
