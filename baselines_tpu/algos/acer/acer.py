@@ -33,6 +33,7 @@ from baselines_tpu.algos.common import Model, build_env, dealias
 from baselines_tpu.core import logger
 from baselines_tpu.core.math import explained_variance
 from baselines_tpu.core.rng import seed_key
+from baselines_tpu.data.frame_chunk import compress_frames, decompress_frames
 from baselines_tpu.data.replay import ReplayBuffer
 from baselines_tpu.envs.spaces import Discrete
 from baselines_tpu.envs.vec import VecMonitor
@@ -99,12 +100,24 @@ def learn(
     trust_region: bool = True,
     alpha: float = 0.99,
     delta: float = 1.0,
+    dedup_frames: int = 0,
+    frame_stack: int = 0,
     load_path: str | None = None,
     mesh=None,
     **network_kwargs,
 ) -> Model:
-    """acer.learn analog (acer/acer.py:275-381 signature/defaults)."""
-    venv = env if env is not None else build_env(env_id, num_envs)
+    """acer.learn analog (acer/acer.py:275-381 signature/defaults).
+
+    dedup_frames=k stores replay chunks as raw frames instead of k-frame
+    stacks and re-stacks on read (the reference ACER buffer's memory trick,
+    acer/buffer.py:3-156) — requires VecFrameStack(k) observations
+    (frame_stack=k here, or an already-stacked env).
+    """
+    venv = (
+        env
+        if env is not None
+        else build_env(env_id, num_envs, frame_stack=frame_stack)
+    )
     nenvs = venv.num_envs
     assert isinstance(venv.action_space, Discrete), "ACER supports discrete actions"
     nact = venv.action_space.n
@@ -129,13 +142,46 @@ def learn(
     n_chunks = max(buffer_size // nsteps, 1)
     rb = ReplayBuffer(n_chunks)
     chunk_item = {
-        "obs": jnp.zeros((nsteps + 1,) + obs.shape[1:], obs.dtype),
         "actions": jnp.zeros((nsteps,), jnp.int32),
         "rewards": jnp.zeros((nsteps,), jnp.float32),
         "mus": jnp.zeros((nsteps, nact), jnp.float32),
         "dones": jnp.zeros((nsteps,), jnp.float32),
     }
+    if dedup_frames > 1:
+        kc = obs.shape[-1]
+        assert kc % dedup_frames == 0, (
+            f"dedup_frames={dedup_frames} needs frame-stacked obs; last axis "
+            f"is {kc}"
+        )
+        chunk_item["obs0"] = jnp.zeros(obs.shape[1:], obs.dtype)
+        chunk_item["frames"] = jnp.zeros(
+            (nsteps,) + obs.shape[1:-1] + (kc // dedup_frames,), obs.dtype
+        )
+    else:
+        chunk_item["obs"] = jnp.zeros((nsteps + 1,) + obs.shape[1:], obs.dtype)
     replay = rb.init(chunk_item)
+
+    def to_stored(chunk):
+        """Full rollout chunk → replay storage layout (frame dedup)."""
+        if dedup_frames <= 1:
+            return chunk
+        obs0, frames = jax.vmap(
+            lambda o, d: compress_frames(o, d, dedup_frames)
+        )(chunk["obs"], chunk["dones"])
+        out = {k: v for k, v in chunk.items() if k != "obs"}
+        out["obs0"], out["frames"] = obs0, frames
+        return out
+
+    def to_full(stored):
+        """Replay storage layout → full chunk with re-stacked observations."""
+        if dedup_frames <= 1:
+            return stored
+        obs_full = jax.vmap(
+            lambda f0, fr, d: decompress_frames(f0, fr, d, dedup_frames)
+        )(stored["obs0"], stored["frames"], stored["dones"])
+        out = {k: v for k, v in stored.items() if k not in ("obs0", "frames")}
+        out["obs"] = obs_full
+        return out
 
     def f_and_q(p, o_flat):
         pdflat, q, _ = policy.apply(p, o_flat)
@@ -265,7 +311,7 @@ def learn(
         key, env_state, obs, chunk = rollout_chunk(
             state.params, state.key, state.env_state, state.obs
         )
-        replay = rb.add_batch(state.replay, chunk)
+        replay = rb.add_batch(state.replay, to_stored(chunk))
         params, avg_params, opt_state, metrics = train_chunk(
             state.params, state.avg_params, state.opt_state, lr_now, chunk
         )
@@ -283,6 +329,7 @@ def learn(
         lr_now = jnp.float32(lr) * (frac if lrschedule == "linear" else 1.0)
         key, ksample = jax.random.split(state.key)
         chunk, _ = rb.sample(state.replay, ksample, nenvs)
+        chunk = to_full(chunk)
         params, avg_params, opt_state, metrics = train_chunk(
             state.params, state.avg_params, state.opt_state, lr_now, chunk
         )

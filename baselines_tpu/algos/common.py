@@ -25,7 +25,7 @@ from flax import struct
 
 from baselines_tpu.core import checkpoint as ckpt
 from baselines_tpu.envs.registry import get_env_type, is_jax_env, make_env
-from baselines_tpu.envs.vec import VecJaxEnv, VecMonitor, VecNormalize
+from baselines_tpu.envs.vec import VecFrameStack, VecJaxEnv, VecMonitor, VecNormalize
 
 
 def make_host_vec_env(env_id: str, num_envs: int, env_type: str):
@@ -59,10 +59,12 @@ def build_env(
     normalize: bool | None = None,
     reward_scale: float = 1.0,
     axis_name: str | None = None,
+    frame_stack: int = 0,
 ):
     """Standard chain: VecJaxEnv → VecMonitor → [VecNormalize for continuous
-    control] (run.py:86-118: mujoco gets VecNormalize, atari gets
-    VecFrameStack — frame stacking is applied by atari-specific factories)."""
+    control] → [VecFrameStack] (run.py:86-118: mujoco gets VecNormalize,
+    atari gets VecFrameStack applied outermost, run.py:102-103; the
+    atari-specific host factories stack by default)."""
     env_type = get_env_type(env_id)
     if is_jax_env(env_id):
         env = make_env(env_id)
@@ -82,6 +84,8 @@ def build_env(
         normalize = env_type == "mujoco"
     if normalize:
         venv = VecNormalize(venv, axis_name=axis_name)
+    if frame_stack and frame_stack > 1:
+        venv = VecFrameStack(venv, frame_stack)
     return venv
 
 

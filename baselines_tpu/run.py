@@ -69,7 +69,11 @@ def main(argv=None):
 
     if args.play:
         logger.log("Running trained model")
-        venv = build_env(args.env, num_envs=1)
+        venv = build_env(
+            args.env,
+            num_envs=1,
+            frame_stack=int(extra_args.get("frame_stack", 0) or 0),
+        )
         ret, length, episodes = evaluate(
             model, venv, jax.random.PRNGKey(0), nsteps=2000, deterministic=True
         )
