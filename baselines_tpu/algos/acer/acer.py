@@ -121,7 +121,7 @@ def learn(
     nenvs = venv.num_envs
     assert isinstance(venv.action_space, Discrete), "ACER supports discrete actions"
     nact = venv.action_space.n
-    nupdates = max(total_timesteps // (nenvs * nsteps), 1)
+    nupdates = max(total_timesteps // (nenvs * nsteps), 1) if total_timesteps > 0 else 0
 
     policy = build_policy(
         venv.observation_space, venv.action_space, network,

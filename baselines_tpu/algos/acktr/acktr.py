@@ -362,7 +362,7 @@ def learn(
     venv = env if env is not None else build_env(env_id, num_envs)
     nenvs = venv.num_envs
     nbatch = nenvs * nsteps
-    nupdates = max(total_timesteps // nbatch, 1)
+    nupdates = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0
 
     net = KfacPolicyNet(
         venv.observation_space, venv.action_space, network, num_hidden, num_layers

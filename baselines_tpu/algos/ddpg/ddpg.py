@@ -37,6 +37,7 @@ from baselines_tpu.algos.ddpg.noise import (
     parse_noise_type,
     perturb_params,
 )
+from baselines_tpu.core import checkpoint as ckpt
 from baselines_tpu.core import logger
 from baselines_tpu.core.rng import seed_key
 from baselines_tpu.core.running_stats import RunningMeanStd
@@ -147,10 +148,13 @@ def learn(
     max_action = jnp.asarray(venv.action_space.high)
 
     if total_timesteps is not None and nb_epochs is None:
-        nb_epochs = max(
-            1, int(total_timesteps) // (nb_epoch_cycles * nb_rollout_steps * nenvs)
+        # total_timesteps=0 means "no training" (load/play contract, run.py:218-244)
+        nb_epochs = (
+            max(1, int(total_timesteps) // (nb_epoch_cycles * nb_rollout_steps * nenvs))
+            if total_timesteps > 0
+            else 0
         )
-    nb_epochs = nb_epochs or 500
+    nb_epochs = 500 if nb_epochs is None else nb_epochs
 
     actor_net = Actor(get_network(network, **network_kwargs), nb_actions)
     critic_net = Critic(get_network(network, **network_kwargs))
@@ -414,9 +418,37 @@ def learn(
                 "ret_rms": self.state.ret_rms,
             }
 
+        # DDPG's train state is not a params-field pytree; checkpoint the
+        # policy-relevant variables (actor/critic/targets/normalizers) —
+        # the reference's save_variables saves all of these (tf_util.py:345-372)
+        def _ckpt_tree(self):
+            return {
+                "actor": self.state.actor_params,
+                "critic": self.state.critic_params,
+                "target_actor": self.state.target_actor_params,
+                "target_critic": self.state.target_critic_params,
+                "obs_rms": self.state.obs_rms,
+                "ret_rms": self.state.ret_rms,
+            }
+
+        def save(self, path):
+            ckpt.save_state(path, self._ckpt_tree())
+
+        def load(self, path):
+            new = ckpt.load_state(path, jax.device_get(self._ckpt_tree()))
+            self.state = self.state.replace(
+                actor_params=jax.device_put(new["actor"]),
+                critic_params=jax.device_put(new["critic"]),
+                target_actor_params=jax.device_put(new["target_actor"]),
+                target_critic_params=jax.device_put(new["target_critic"]),
+                obs_rms=jax.device_put(new["obs_rms"]),
+                ret_rms=jax.device_put(new["ret_rms"]),
+            )
+            return self
+
     model = DDPGModel(DDPGPolicy(), state)
     if load_path is not None:
-        model.load_full(load_path)
+        model.load(load_path)
         state = model.state
 
     tstart = time.time()

@@ -354,7 +354,7 @@ def learn(
         state = model.state
 
     steps_per_chunk = chunk_size * nenvs
-    nchunks = max(total_timesteps // steps_per_chunk, 1)
+    nchunks = max(total_timesteps // steps_per_chunk, 1) if total_timesteps > 0 else 0
     tstart = time.time()
     last_log_episodes = 0
     for chunk in range(1, nchunks + 1):

@@ -352,7 +352,7 @@ def learn(
         state = model.state
 
     steps_per_epoch = n_cycles * num_envs * T
-    n_epochs = max(total_timesteps // steps_per_epoch, 1)
+    n_epochs = max(total_timesteps // steps_per_epoch, 1) if total_timesteps > 0 else 0
     tstart = time.time()
     for epoch in range(n_epochs):
         for _ in range(n_cycles):

@@ -286,7 +286,7 @@ def learn(
     venv = env if env is not None else build_env(env_id, num_envs)
     nenvs = venv.num_envs
     nbatch = nenvs * nsteps
-    nupdates = max(total_timesteps // nbatch, 1)
+    nupdates = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0
 
     policy = build_policy(
         venv.observation_space,

@@ -103,7 +103,7 @@ def learn(
     nenvs = venv.num_envs
     nsteps = max(timesteps_per_batch // nenvs, 1)
     nbatch = nsteps * nenvs
-    niters = max(total_timesteps // nbatch, 1)
+    niters = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0
 
     policy = build_policy(
         venv.observation_space, venv.action_space, network,
