@@ -64,7 +64,23 @@ def build_env(
     """Standard chain: VecJaxEnv → VecMonitor → [VecNormalize for continuous
     control] → [VecFrameStack] (run.py:86-118: mujoco gets VecNormalize,
     atari gets VecFrameStack applied outermost, run.py:102-103; the
-    atari-specific host factories stack by default)."""
+    atari-specific host factories stack by default).
+
+    A ``native:`` env-id prefix forces the C++ batched engine
+    (baselines_tpu/native) behind the io_callback bridge — the native host
+    data-plane path, exercised even for ids that also exist as pure-JAX
+    envs."""
+    if env_id.startswith("native:"):
+        from baselines_tpu import native
+        from baselines_tpu.envs.callback_env import CallbackVecEnv
+
+        raw_id = env_id.split(":", 1)[1]
+        venv = VecMonitor(CallbackVecEnv(native.NativeVecEnv(raw_id, num_envs)))
+        if normalize:
+            venv = VecNormalize(venv, axis_name=axis_name)
+        if frame_stack and frame_stack > 1:
+            venv = VecFrameStack(venv, frame_stack)
+        return venv
     env_type = get_env_type(env_id)
     if is_jax_env(env_id):
         env = make_env(env_id)

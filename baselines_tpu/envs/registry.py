@@ -33,6 +33,8 @@ def is_jax_env(env_id: str) -> bool:
 def get_env_type(env_id: str) -> str:
     """classic_control / mujoco / atari / testing / robotics — the env_type
     keying per-alg defaults (run.py:121-145, ppo2/defaults.py)."""
+    if env_id.startswith("native:"):
+        env_id = env_id.split(":", 1)[1]
     if env_id in _ENV_TYPES:
         return _ENV_TYPES[env_id]
     lid = env_id.lower()

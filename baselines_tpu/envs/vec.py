@@ -155,6 +155,13 @@ class VecWrapper:
     def step(self, key, state, actions):
         return self.venv.step(key, state, actions)
 
+    def close(self):
+        # forwarded like VecEnvWrapper (vec_env.py:140-175); releases host
+        # resources when a CallbackVecEnv/host pool sits underneath
+        close = getattr(self.venv, "close", None)
+        if close is not None:
+            close()
+
 
 @struct.dataclass
 class MonitorState:

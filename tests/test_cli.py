@@ -47,6 +47,8 @@ def test_algo_registry():
          "--num_env=4", "--log_interval=1000"],
         ["--alg=deepq", "--env=CartPole-v1", "--num_timesteps=1024",
          "--chunk_size=64", "--learning_starts=100", "--print_freq=0"],
+        ["--alg=ppo2", "--env=native:CartPole-v1", "--num_timesteps=512",
+         "--nsteps=32", "--num_env=4", "--log_interval=1000"],
     ],
 )
 def test_run_smoke(argv):
