@@ -60,6 +60,7 @@ def learn(
     total_timesteps: int,
     seed: int | None = None,
     num_envs: int = 8,
+    env_kwargs: dict | None = None,
     nsteps: int = 5,
     vf_coef: float = 0.5,
     ent_coef: float = 0.01,
@@ -76,7 +77,7 @@ def learn(
     **network_kwargs,
 ) -> Model:
     """a2c.learn analog (a2c/a2c.py:119-231 signature/defaults)."""
-    venv = env if env is not None else build_env(env_id, num_envs)
+    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nbatch = nenvs * nsteps
     nupdates = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0

@@ -83,6 +83,7 @@ def learn(
     total_timesteps: int = int(80e6),
     seed: int | None = None,
     num_envs: int = 16,
+    env_kwargs: dict | None = None,
     nsteps: int = 20,
     q_coef: float = 0.5,
     ent_coef: float = 0.01,
@@ -116,7 +117,7 @@ def learn(
     venv = (
         env
         if env is not None
-        else build_env(env_id, num_envs, frame_stack=frame_stack)
+        else build_env(env_id, num_envs, frame_stack=frame_stack, **(env_kwargs or {}))
     )
     nenvs = venv.num_envs
     assert isinstance(venv.action_space, Discrete), "ACER supports discrete actions"

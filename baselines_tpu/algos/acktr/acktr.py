@@ -8,10 +8,12 @@ KfacOptimizer(lr=0.25 annealed linearly, clip_kl=0.001, momentum 0.9,
 kfac_update=1, epsilon=0.01, stats_decay=0.99, cold_iter=10,
 max_grad_norm=0.5) (:58-64); nsteps=20 rollouts with n-step returns.
 
-The policy network is an explicit dense stack (KfacPolicyNet) so K-FAC
-factor registration is structural rather than graph-scraped; conv K-FAC
-factors (used by the reference on Atari) are future work — dense layers on
-top of any latent cover the CartPole/identity/MuJoCo parity surface.
+The policy network is an explicit layer stack (KfacPolicyNet) so K-FAC
+factor registration is structural rather than graph-scraped.  Both dense
+factors and conv KFC factors (patch-covariance approximation, the
+reference's kfac.py conv path used on Atari) are implemented — see
+`precondition_layer` / the conv factor code below (:61-185) and
+kfac.py's factor update rules.
 """
 
 from __future__ import annotations
@@ -337,6 +339,7 @@ def learn(
     total_timesteps: int,
     seed: int | None = None,
     num_envs: int = 8,
+    env_kwargs: dict | None = None,
     nsteps: int = 20,
     gamma: float = 0.99,
     ent_coef: float = 0.01,
@@ -359,7 +362,7 @@ def learn(
     **network_kwargs,
 ) -> Model:
     """acktr.learn analog (acktr/acktr.py:95-158 signature/defaults)."""
-    venv = env if env is not None else build_env(env_id, num_envs)
+    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nbatch = nenvs * nsteps
     nupdates = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0

@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import os.path as osp
 from typing import Any, Callable
 
 import jax
@@ -28,7 +29,8 @@ from baselines_tpu.envs.registry import get_env_type, is_jax_env, make_env
 from baselines_tpu.envs.vec import VecFrameStack, VecJaxEnv, VecMonitor, VecNormalize
 
 
-def make_host_vec_env(env_id: str, num_envs: int, env_type: str):
+def make_host_vec_env(env_id: str, num_envs: int, env_type: str,
+                      need_render: bool = False, gamestate=None):
     """gymnasium-backed vec env behind the io_callback bridge; Atari ids get
     the DeepMind wrapper chain + device frame stack."""
     from baselines_tpu.envs.callback_env import CallbackVecEnv
@@ -38,11 +40,15 @@ def make_host_vec_env(env_id: str, num_envs: int, env_type: str):
         from baselines_tpu.envs.atari import make_atari_vec_env
 
         return make_atari_vec_env(env_id, num_envs)
+    if env_type == "retro":
+        from baselines_tpu.envs.retro_wrappers import make_retro_vec_env
+
+        return make_retro_vec_env(env_id, num_envs, gamestate=gamestate)
 
     def thunk():
         import gymnasium as gym
 
-        return gym.make(env_id)
+        return gym.make(env_id, render_mode="rgb_array" if need_render else None)
 
     host = (
         HostSubprocVecEnv([thunk] * num_envs)
@@ -60,48 +66,85 @@ def build_env(
     reward_scale: float = 1.0,
     axis_name: str | None = None,
     frame_stack: int = 0,
+    save_video_interval: int = 0,
+    save_video_length: int = 200,
+    video_dir: str | None = None,
+    gamestate=None,
 ):
-    """Standard chain: VecJaxEnv → VecMonitor → [VecNormalize for continuous
-    control] → [VecFrameStack] (run.py:86-118: mujoco gets VecNormalize,
-    atari gets VecFrameStack applied outermost, run.py:102-103; the
-    atari-specific host factories stack by default).
+    """Standard chain: base vec env → VecMonitor → [VecRewardScale] →
+    [VecNormalize for continuous control] → [VecFrameStack] →
+    [VecVideoRecorder] (run.py:86-118: mujoco gets VecNormalize, atari gets
+    VecFrameStack, run.py:102-103; --reward_scale applies per step like
+    cmd_util.make_env's RewardScaler, outside Monitor so episode stats stay
+    raw; --save_video_interval wraps outermost like ref run.py:104-108).
 
     A ``native:`` env-id prefix forces the C++ batched engine
     (baselines_tpu/native) behind the io_callback bridge — the native host
     data-plane path, exercised even for ids that also exist as pure-JAX
     envs."""
+    from baselines_tpu.envs.vec import VecRewardScale
+
+    frame_fn = None  # for video capture, resolved per branch
+    jax_base_env = None
+    host_env = None
+
     if env_id.startswith("native:"):
         from baselines_tpu import native
         from baselines_tpu.envs.callback_env import CallbackVecEnv
 
         raw_id = env_id.split(":", 1)[1]
         venv = VecMonitor(CallbackVecEnv(native.NativeVecEnv(raw_id, num_envs)))
-        if normalize:
-            venv = VecNormalize(venv, axis_name=axis_name)
-        if frame_stack and frame_stack > 1:
-            venv = VecFrameStack(venv, frame_stack)
-        return venv
-    env_type = get_env_type(env_id)
-    if is_jax_env(env_id):
-        env = make_env(env_id)
-        from baselines_tpu.envs.base import ClipActions, RewardScale
-        from baselines_tpu.envs.spaces import Box as _Box
-
-        if isinstance(env.action_space, _Box):
-            env = ClipActions(env)  # cmd_util.py:96-99 clips Box actions always
-        if reward_scale != 1.0:
-            env = RewardScale(env, reward_scale)
-        venv = VecMonitor(VecJaxEnv(env, num_envs))
+        env_type = None
     else:
-        # host gymnasium env behind the io_callback bridge; Subproc when
-        # parallel, Dummy otherwise (cmd_util.py:56-59)
-        venv = VecMonitor(make_host_vec_env(env_id, num_envs, env_type))
+        env_type = get_env_type(env_id)
+        if is_jax_env(env_id):
+            env = make_env(env_id)
+            from baselines_tpu.envs.base import ClipActions
+            from baselines_tpu.envs.spaces import Box as _Box
+
+            if isinstance(env.action_space, _Box):
+                env = ClipActions(env)  # cmd_util.py:96-99 clips Box actions always
+            jax_base_env = env
+            venv = VecMonitor(VecJaxEnv(env, num_envs))
+        else:
+            # host gymnasium env behind the io_callback bridge; Subproc when
+            # parallel, Dummy otherwise (cmd_util.py:56-59)
+            host_env = make_host_vec_env(
+                env_id, num_envs, env_type,
+                need_render=save_video_interval > 0, gamestate=gamestate,
+            )
+            venv = VecMonitor(host_env)
+    if reward_scale != 1.0:
+        venv = VecRewardScale(venv, reward_scale)
     if normalize is None:
         normalize = env_type == "mujoco"
     if normalize:
         venv = VecNormalize(venv, axis_name=axis_name)
     if frame_stack and frame_stack > 1:
         venv = VecFrameStack(venv, frame_stack)
+    if save_video_interval:
+        from baselines_tpu.core import logger
+        from baselines_tpu.envs.video import VecVideoRecorder, jax_env_frame_fn
+
+        if jax_base_env is not None:
+            frame_fn = jax_env_frame_fn(jax_base_env)
+        elif host_env is not None:
+            # peel device-side wrappers (VecFrameStack etc.) and the
+            # CallbackVecEnv down to the live host pool
+            pool = host_env
+            while not hasattr(pool, "host") and hasattr(pool, "venv"):
+                pool = pool.venv
+            pool = getattr(pool, "host", pool)
+            frame_fn = lambda _state: pool.render()
+        else:
+            raise ValueError("--save_video_interval: native envs do not render")
+        venv = VecVideoRecorder(
+            venv,
+            video_dir or osp.join(logger.get_dir() or ".", "videos"),
+            record_video_trigger=lambda step: step % save_video_interval == 0,
+            video_length=save_video_length,
+            frame_fn=frame_fn,
+        )
     return venv
 
 
@@ -205,12 +248,57 @@ class Model:
         mask = done.astype(jnp.float32) if done is not None else None
         return self.policy.value(self.params, obs, rnn_state, mask)
 
+    def _normalize_state(self):
+        """NormalizeState from the model's training env, if the env chain is
+        normalized (VecNormalize stats live in env_state)."""
+        from baselines_tpu.envs.vec import find_normalize_state
+
+        return find_normalize_state(getattr(self.state, "env_state", None))
+
     def save(self, path):
-        ckpt.save_state(path, self.state.params)
+        """--save_path payload: params PLUS VecNormalize running statistics
+        when the training env was normalized, so a model replayed in a fresh
+        process sees identically-scaled observations (fixes the
+        README.md:117 wart the reference's use_tf=False mode has; DDPG
+        reaches the same end by bundling rms into .params,
+        ddpg_learner.py:102-111 analog)."""
+        payload = {"model_params": self.state.params}
+        ns = self._normalize_state()
+        if ns is not None:
+            payload["norm_ob_rms"] = ns.ob_rms
+            payload["norm_ret_rms"] = ns.ret_rms
+        ckpt.save_state(path, payload)
 
     def load(self, path):
-        new_params = ckpt.load_state(path, jax.device_get(self.state.params))
-        self.state = self.state.replace(params=jax.device_put(new_params))
+        from flax import serialization
+
+        from baselines_tpu.envs.vec import replace_normalize_stats
+
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        if isinstance(raw, dict) and "model_params" in raw:
+            params = serialization.from_state_dict(
+                jax.device_get(self.state.params), raw["model_params"]
+            )
+            self.state = self.state.replace(params=jax.device_put(params))
+            ns = self._normalize_state()
+            if "norm_ob_rms" in raw and ns is not None:
+                ob_rms = serialization.from_state_dict(
+                    jax.device_get(ns.ob_rms), raw["norm_ob_rms"]
+                )
+                ret_rms = serialization.from_state_dict(
+                    jax.device_get(ns.ret_rms), raw["norm_ret_rms"]
+                )
+                self.state = self.state.replace(
+                    env_state=replace_normalize_stats(
+                        self.state.env_state, jax.device_put(ob_rms), jax.device_put(ret_rms)
+                    )
+                )
+        else:  # legacy params-only checkpoint
+            params = serialization.from_state_dict(
+                jax.device_get(self.state.params), raw
+            )
+            self.state = self.state.replace(params=jax.device_put(params))
         return self
 
     def save_full(self, path):
@@ -223,8 +311,23 @@ class Model:
 
 def evaluate(model: Model, venv, key, nsteps: int = 1000, deterministic: bool = True):
     """Roll the policy and report mean episode return (host-driven helper for
-    tests / --play; the hot path stays jitted)."""
+    tests / --play; the hot path stays jitted).
+
+    If the model trained on a VecNormalize env and `venv` is also normalized,
+    the trained running statistics are injected into the fresh env state so
+    --play sees identically-scaled observations (run.py:222-244 analog minus
+    the reference's lost-statistics wart)."""
     policy = model.policy
+    trained_norm = model._normalize_state() if isinstance(model, Model) else None
+    if trained_norm is not None:
+        # walk the wrapper chain for a VecNormalize and seed it with the
+        # trained statistics before the jitted reset traces
+        w = venv
+        while w is not None:
+            if isinstance(w, VecNormalize):
+                w._init_stats = (trained_norm.ob_rms, trained_norm.ret_rms)
+                break
+            w = getattr(w, "venv", None)
 
     @jax.jit
     def run(key):

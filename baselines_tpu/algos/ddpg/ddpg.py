@@ -118,6 +118,7 @@ def learn(
     total_timesteps: int | None = None,
     seed: int | None = None,
     num_envs: int = 1,
+    env_kwargs: dict | None = None,
     nb_epochs: int | None = None,
     nb_epoch_cycles: int = 20,
     nb_rollout_steps: int = 100,
@@ -141,7 +142,7 @@ def learn(
     **network_kwargs,
 ) -> Model:
     """ddpg.learn analog (ddpg/ddpg.py:21-275 signature/defaults)."""
-    venv = env if env is not None else build_env(env_id, num_envs, normalize=False)
+    venv = env if env is not None else build_env(env_id, num_envs, normalize=False, **(env_kwargs or {}))
     nenvs = venv.num_envs
     assert isinstance(venv.action_space, Box)
     nb_actions = venv.action_space.shape[-1]

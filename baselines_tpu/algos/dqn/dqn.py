@@ -145,6 +145,7 @@ def learn(
     total_timesteps: int,
     seed: int | None = None,
     num_envs: int = 1,
+    env_kwargs: dict | None = None,
     lr: float = 5e-4,
     buffer_size: int = 50000,
     exploration_fraction: float = 0.1,
@@ -172,7 +173,7 @@ def learn(
     **network_kwargs,
 ) -> Model:
     """deepq.learn analog (deepq/deepq.py:95-332 signature/defaults)."""
-    venv = env if env is not None else build_env(env_id, num_envs)
+    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     assert isinstance(venv.action_space, Discrete), "DQN requires discrete actions"
     n_actions = venv.action_space.n

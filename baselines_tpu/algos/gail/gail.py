@@ -64,6 +64,7 @@ def learn(
     expert_dataset=None,
     seed: int | None = None,
     num_envs: int = 4,
+    env_kwargs: dict | None = None,
     timesteps_per_batch: int = 1024,
     max_kl: float = 0.01,
     cg_iters: int = 10,
@@ -87,7 +88,7 @@ def learn(
 ) -> Model:
     """gail/trpo_mpi.learn analog."""
     assert expert_dataset is not None, "GAIL requires an expert_dataset"
-    venv = env if env is not None else build_env(env_id, num_envs)
+    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nsteps = max(timesteps_per_batch // nenvs, 1)
     nbatch = nsteps * nenvs

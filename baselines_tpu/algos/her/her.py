@@ -107,6 +107,9 @@ def learn(
     num_hidden: int = 256,
     num_layers: int = 3,
     mesh=None,
+    env_kwargs: dict | None = None,  # accepted for CLI uniformity; goal envs
+    # are pure-JAX and take no reward_scale/video flags (ref her pipeline
+    # likewise bypasses cmd_util's wrapper chain, her/her.py:110-141)
     **network_kwargs,
 ) -> Model:
     """her.learn analog (her/her.py:87-177 + experiment/config.py DEFAULT_PARAMS:

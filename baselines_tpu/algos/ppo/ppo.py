@@ -264,6 +264,7 @@ def learn(
     total_timesteps: int,
     seed: int | None = None,
     num_envs: int = 8,
+    env_kwargs: dict | None = None,
     nsteps: int = 2048,
     ent_coef: float = 0.0,
     lr=3e-4,
@@ -283,7 +284,7 @@ def learn(
     **network_kwargs,
 ) -> Model:
     """Uniform learn contract (ppo2/ppo2.py:21-218 signature analog)."""
-    venv = env if env is not None else build_env(env_id, num_envs)
+    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nbatch = nenvs * nsteps
     nupdates = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0

@@ -83,6 +83,7 @@ def learn(
     total_timesteps: int,
     seed: int | None = None,
     num_envs: int = 1,
+    env_kwargs: dict | None = None,
     timesteps_per_batch: int = 1024,
     max_kl: float = 0.001,
     cg_iters: int = 10,
@@ -99,7 +100,7 @@ def learn(
     **network_kwargs,
 ) -> Model:
     """trpo_mpi.learn analog (trpo_mpi.py:89-145 signature/defaults)."""
-    venv = env if env is not None else build_env(env_id, num_envs)
+    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nsteps = max(timesteps_per_batch // nenvs, 1)
     nbatch = nsteps * nenvs

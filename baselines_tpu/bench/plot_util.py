@@ -16,80 +16,110 @@ import numpy as np
 from baselines_tpu.bench import monitor_io
 
 
+def _windowed_mean(y, lo_idx, hi_idx):
+    """Mean of y[lo:hi] per output element via one prefix sum."""
+    prefix = np.concatenate([[0.0], np.cumsum(y, dtype=np.float64)])
+    return (prefix[hi_idx] - prefix[lo_idx]) / (hi_idx - lo_idx)
+
+
 def smooth(y, radius, mode="two_sided", valid_only=False):
-    """plot_util.py:14-37."""
-    assert mode in ("two_sided", "causal")
-    if len(y) < 2 * radius + 1:
-        return np.ones_like(y) * y.mean()
+    """Moving-average smoothing with the same semantics as the reference's
+    convolution version (plot_util.py:14-37): ``two_sided`` averages a
+    (2*radius+1)-wide centered window, ``causal`` the trailing ``radius``
+    samples; windows shrink at the array edges.  Implemented with prefix
+    sums rather than convolutions."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n < 2 * radius + 1:
+        return np.full_like(y, y.mean())
+    idx = np.arange(n)
     if mode == "two_sided":
-        convkernel = np.ones(2 * radius + 1)
-        out = np.convolve(y, convkernel, mode="same") / np.convolve(
-            np.ones_like(y), convkernel, mode="same"
-        )
+        out = _windowed_mean(y, np.maximum(idx - radius, 0), np.minimum(idx + radius + 1, n))
         if valid_only:
             out[:radius] = out[-radius:] = np.nan
-    else:
-        convkernel = np.ones(radius)
-        out = np.convolve(y, convkernel, mode="full") / np.convolve(
-            np.ones_like(y), convkernel, mode="full"
-        )
-        out = out[: -radius + 1]
+    elif mode == "causal":
+        out = _windowed_mean(y, np.maximum(idx - radius + 1, 0), idx + 1)
         if valid_only:
             out[:radius] = np.nan
+    else:
+        raise ValueError(f"unknown smooth mode {mode!r}")
     return out
 
 
 def one_sided_ema(xolds, yolds, low=None, high=None, n=512, decay_steps=1.0,
                   low_counts_threshold=1e-8):
-    """plot_util.py:39-90."""
+    """Resample an irregular series onto a uniform n-point grid with a
+    causal exponential moving average (capability parity with
+    plot_util.py:39-90, vectorized).
+
+    Each source sample (x0, y0) contributes to every grid point g >= x0
+    with weight exp(-(g - x0)/tau), tau = grid_spacing * decay_steps.
+    Vectorized as: (1) bin samples to their first grid point with a partial
+    decay, (2) propagate across the grid with the one-pole recurrence
+    s[i] = d * s[i-1] + b[i], d = exp(-1/decay_steps)."""
+    xolds = np.asarray(xolds, dtype=np.float64)
+    yolds = np.asarray(yolds, dtype=np.float64)
+    assert len(xolds) == len(yolds)
     low = xolds[0] if low is None else low
     high = xolds[-1] if high is None else high
-    assert xolds[0] <= low and high <= xolds[-1]
-    assert len(xolds) == len(yolds)
+    assert xolds[0] <= low and high <= xolds[-1], "grid must lie inside the data range"
 
-    xolds, yolds = xolds.astype("float64"), yolds.astype("float64")
-    luoi = 0
-    sum_y = 0.0
-    count_y = 0.0
-    xnews = np.linspace(low, high, n)
-    decay_period = (high - low) / (n - 1) * decay_steps
-    interstep_decay = np.exp(-1.0 / decay_steps)
-    sum_ys = np.zeros_like(xnews)
-    count_ys = np.zeros_like(xnews)
-    for i in range(n):
-        xnew = xnews[i]
-        sum_y *= interstep_decay
-        count_y *= interstep_decay
-        while luoi < len(xolds):
-            xold = xolds[luoi]
-            if xold <= xnew:
-                decay = np.exp(-(xnew - xold) / decay_period)
-                sum_y += decay * yolds[luoi]
-                count_y += decay
-                luoi += 1
-            else:
-                break
-        sum_ys[i] = sum_y
-        count_ys[i] = count_y
-    ys = sum_ys / count_ys
+    grid = np.linspace(low, high, n)
+    tau = (high - low) / (n - 1) * decay_steps
+    pole = np.exp(-1.0 / decay_steps)
+
+    # first grid point at or after each sample; samples past `high` drop out
+    bins = np.searchsorted(grid, xolds, side="left")
+    keep = bins < n
+    bins = bins[keep]
+    # decay from sample x up to its grid point (<= one grid interval except
+    # for samples left of `low`, which fold into grid point 0)
+    partial = np.exp(-(grid[bins] - xolds[keep]) / tau)
+    binned_sum = np.bincount(bins, weights=partial * yolds[keep], minlength=n)
+    binned_cnt = np.bincount(bins, weights=partial, minlength=n)
+
+    sum_ys = _one_pole(binned_sum, pole)
+    count_ys = _one_pole(binned_cnt, pole)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ys = sum_ys / count_ys
     ys[count_ys < low_counts_threshold] = np.nan
-    return xnews, ys, count_ys
+    return grid, ys, count_ys
+
+
+def _one_pole(b, d):
+    """s[i] = d*s[i-1] + b[i] for the whole array (IIR filter)."""
+    try:
+        from scipy.signal import lfilter
+
+        return lfilter([1.0], [1.0, -d], b)
+    except ImportError:  # pragma: no cover - scipy is available in CI
+        out = np.empty_like(b)
+        acc = 0.0
+        for i, v in enumerate(b):
+            acc = d * acc + v
+            out[i] = acc
+        return out
 
 
 def symmetric_ema(xolds, yolds, low=None, high=None, n=512, decay_steps=1.0,
                   low_counts_threshold=1e-8):
-    """plot_util.py:93-147."""
+    """Two one-sided EMAs (forward + time-reversed) blended by their
+    confidence weights — same estimator as plot_util.py:93-147."""
+    xolds = np.asarray(xolds, dtype=np.float64)
+    yolds = np.asarray(yolds, dtype=np.float64)
     low = xolds[0] if low is None else low
     high = xolds[-1] if high is None else high
-    xs, ys1, count_ys1 = one_sided_ema(xolds, yolds, low, high, n, decay_steps, 0)
-    _, ys2, count_ys2 = one_sided_ema(-xolds[::-1], yolds[::-1], -high, -low, n,
-                                      decay_steps, 0)
-    ys2 = ys2[::-1]
-    count_ys2 = count_ys2[::-1]
-    count_ys = count_ys1 + count_ys2
-    ys = (ys1 * count_ys1 + ys2 * count_ys2) / count_ys
-    ys[count_ys < low_counts_threshold] = np.nan
-    return xs, ys, count_ys
+    grid, fwd, fwd_cnt = one_sided_ema(xolds, yolds, low, high, n, decay_steps, 0)
+    _, bwd, bwd_cnt = one_sided_ema(
+        -xolds[::-1], yolds[::-1], -high, -low, n, decay_steps, 0
+    )
+    bwd, bwd_cnt = bwd[::-1], bwd_cnt[::-1]
+    total = fwd_cnt + bwd_cnt
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ys = (np.nan_to_num(fwd) * fwd_cnt + np.nan_to_num(bwd) * bwd_cnt) / total
+    ys[total < low_counts_threshold] = np.nan
+    return grid, ys, total
 
 
 Result = namedtuple("Result", "monitor progress dirname metadata")

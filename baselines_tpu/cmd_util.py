@@ -41,6 +41,21 @@ def common_arg_parser():
         type=int,
     )
     parser.add_argument("--reward_scale", help="Reward scale factor", default=1.0, type=float)
+    parser.add_argument(
+        "--gamestate", help="game state to load (so far only used in retro games)", default=None
+    )
+    parser.add_argument(
+        "--save_video_interval",
+        help="Save video every x steps (0 = disabled)",
+        default=0,
+        type=int,
+    )
+    parser.add_argument(
+        "--save_video_length",
+        help="Length of recorded video. Default: 200",
+        default=200,
+        type=int,
+    )
     parser.add_argument("--save_path", help="Path to save trained model to", default=None, type=str)
     parser.add_argument("--load_path", help="Path to load trained model from", default=None, type=str)
     parser.add_argument("--log_path", help="Directory to save learning curve data", default=None, type=str)

@@ -1,5 +1,6 @@
-"""Console helpers — parity with baselines/common/console_util.py:1-80
-(fmt_row/fmt_item tables, colorize, timed stopwatch)."""
+"""Console formatting helpers — capability parity with
+baselines/common/console_util.py (aligned numeric tables, ANSI coloring,
+nested stopwatch context manager)."""
 
 from __future__ import annotations
 
@@ -8,55 +9,56 @@ from contextlib import contextmanager
 
 import numpy as np
 
-color2num = dict(
-    gray=30, red=31, green=32, yellow=33, blue=34, magenta=35, cyan=36, white=37,
-    crimson=38,
-)
+# ANSI SGR foreground codes 30..38 in standard order.
+_ANSI_FG = {
+    name: 30 + i
+    for i, name in enumerate(
+        "gray red green yellow blue magenta cyan white crimson".split()
+    )
+}
+
+
+def fmt_item(value, width):
+    """Right-align one table cell; floats switch to scientific notation
+    outside [1e-4, 1e4] (console_util.py:18-30 behavior)."""
+    if isinstance(value, np.ndarray):
+        assert value.ndim == 0, "only scalars belong in a table cell"
+        value = value.item()
+    if isinstance(value, float):
+        mag = abs(value)
+        text = f"{value:7.2e}" if 0 < mag and not (1e-4 <= mag <= 1e4) else f"{value:7.5f}"
+    else:
+        text = str(value)
+    return text.rjust(width)
 
 
 def fmt_row(width, row, header=False):
-    out = " | ".join(fmt_item(x, width) for x in row)
-    if header:
-        out = out + "\n" + "-" * len(out)
-    return out
-
-
-def fmt_item(x, l):
-    if isinstance(x, np.ndarray):
-        assert x.ndim == 0
-        x = x.item()
-    if isinstance(x, (float, np.float32, np.float64)):
-        v = abs(x)
-        if (v < 1e-4 or v > 1e4) and v > 0:
-            rep = "%7.2e" % x
-        else:
-            rep = "%7.5f" % x
-    else:
-        rep = str(x)
-    return " " * (l - len(rep)) + rep
+    """One ' | '-joined table row, optionally underlined as a header."""
+    line = " | ".join(fmt_item(cell, width) for cell in row)
+    return line + "\n" + "-" * len(line) if header else line
 
 
 def colorize(string, color="green", bold=False, highlight=False):
-    attr = []
-    num = color2num[color]
-    if highlight:
-        num += 10
-    attr.append(str(num))
+    """Wrap ``string`` in ANSI SGR codes."""
+    codes = [str(_ANSI_FG[color] + (10 if highlight else 0))]
     if bold:
-        attr.append("1")
-    return "\x1b[%sm%s\x1b[0m" % (";".join(attr), string)
+        codes.append("1")
+    return f"\x1b[{';'.join(codes)}m{string}\x1b[0m"
 
 
-MESSAGE_DEPTH = 0
+_timed_depth = 0
 
 
 @contextmanager
 def timed(msg):
-    """console_util.py:73-80 colored stopwatch."""
-    global MESSAGE_DEPTH
-    print(colorize("\t" * MESSAGE_DEPTH + "=: " + msg, color="magenta"))
-    tstart = time.time()
-    MESSAGE_DEPTH += 1
-    yield
-    MESSAGE_DEPTH -= 1
-    print(colorize("\t" * MESSAGE_DEPTH + "done in %.3f seconds" % (time.time() - tstart), color="magenta"))
+    """Nested colored stopwatch (console_util.py:73-80 capability)."""
+    global _timed_depth
+    indent = "\t" * _timed_depth
+    print(colorize(f"{indent}=: {msg}", color="magenta"))
+    _timed_depth += 1
+    start = time.time()
+    try:
+        yield
+    finally:
+        _timed_depth -= 1
+        print(colorize(f"{indent}done in {time.time() - start:.3f} seconds", color="magenta"))

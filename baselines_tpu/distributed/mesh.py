@@ -28,11 +28,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "dp"
 
 
+_distributed_initialized = False
+
+
 def maybe_initialize_distributed() -> None:
     """Initialize the multi-host runtime when launched with coordinator env
-    vars set (no-op single-host)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        jax.distributed.initialize()
+    vars set (mpi_fork.py:3-23 / mpirun-launch analog).  No-op single-host,
+    idempotent across repeated calls, and safe after an explicit
+    jax.distributed.initialize() (jax raises if doubly initialized; the
+    module-level flag plus the client check avoid that)."""
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    # an already-created distributed client (explicit user init) must not be
+    # re-initialized
+    from jax._src import distributed as _jdist
+
+    if getattr(_jdist.global_state, "client", None) is not None:
+        _distributed_initialized = True
+        return
+    jax.distributed.initialize()
+    _distributed_initialized = True
 
 
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:

@@ -47,7 +47,9 @@ class MountainCar(JaxEnv):
         velocity = jnp.clip(velocity, -self.MAX_SPEED, self.MAX_SPEED)
         position = jnp.clip(state.position + velocity, self.MIN_POS, self.MAX_POS)
         velocity = jnp.where((position == self.MIN_POS) & (velocity < 0), 0.0, velocity)
-        done = position >= self.GOAL_POS
+        # gymnasium terminates only when moving forward at the goal
+        # (velocity >= goal_velocity == 0)
+        done = (position >= self.GOAL_POS) & (velocity >= 0.0)
         new_state = CarState(position, velocity)
         return self._obs(new_state), new_state, jnp.float32(-1.0), done, {}
 
@@ -78,7 +80,7 @@ class MountainCarContinuous(JaxEnv):
         velocity = jnp.clip(velocity, -self.MAX_SPEED, self.MAX_SPEED)
         position = jnp.clip(state.position + velocity, self.MIN_POS, self.MAX_POS)
         velocity = jnp.where((position == self.MIN_POS) & (velocity < 0), 0.0, velocity)
-        done = position >= self.GOAL_POS
+        done = (position >= self.GOAL_POS) & (velocity >= 0.0)
         reward = jnp.where(done, 100.0, 0.0) - 0.1 * force**2
         new_state = CarState(position, velocity)
         return self._obs(new_state), new_state, reward.astype(jnp.float32), done, {}

@@ -78,6 +78,9 @@ class GymAdapter:
             obs = self.reset()
         return obs, float(rew), done, info
 
+    def render(self):
+        return self.env.render()
+
     def close(self):
         self.env.close()
 
@@ -93,6 +96,12 @@ class HostVecEnv:
         raise NotImplementedError
 
     def step(self, actions):
+        raise NotImplementedError
+
+    def render(self):
+        """Tiled rgb frame of the member envs (VecEnv.render 'rgb_array'
+        mode, vec_env.py:110-121); envs must be built with
+        render_mode='rgb_array'."""
         raise NotImplementedError
 
     def close(self):
@@ -126,6 +135,11 @@ class HostDummyVecEnv(HostVecEnv):
             infos,
         )
 
+    def render(self):
+        from baselines_tpu.core.tile_images import tile_images
+
+        return tile_images([e.render() for e in self.envs])
+
     def close(self):
         for e in self.envs:
             e.close()
@@ -148,6 +162,8 @@ def _subproc_worker(remote, parent_remote, env_fn_wrappers):
                         for j, env in enumerate(envs)
                     ]
                 )
+            elif cmd == "render":
+                remote.send([env.render() for env in envs])
             elif cmd == "get_spaces":
                 remote.send((envs[0].observation_space, envs[0].action_space))
             elif cmd == "close":
@@ -223,6 +239,14 @@ class HostSubprocVecEnv(HostVecEnv):
             np.asarray(dones, bool),
             list(infos),
         )
+
+    def render(self):
+        from baselines_tpu.core.tile_images import tile_images
+
+        for remote in self.remotes:
+            remote.send(("render", None))
+        frames = [f for remote in self.remotes for f in remote.recv()]
+        return tile_images(frames)
 
     def close(self):
         for remote in self.remotes:

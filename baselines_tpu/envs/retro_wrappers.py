@@ -125,6 +125,26 @@ def make_retro(*, game, state=None, max_episode_steps=4500, **kwargs):
     return env
 
 
+def make_retro_vec_env(env_id: str, num_envs: int, gamestate=None, frame_stack: int = 4):
+    """Retro pipeline behind the io_callback bridge — the --gamestate CLI
+    surface (ref run.py:99-101: retro envs get gamestate + retro wrapper
+    chain).  Requires the `retro` package."""
+    from baselines_tpu.envs.callback_env import CallbackVecEnv
+    from baselines_tpu.envs.gym_bridge import HostDummyVecEnv, HostSubprocVecEnv
+    from baselines_tpu.envs.vec import VecFrameStack
+
+    def thunk():
+        return wrap_deepmind_retro(make_retro(game=env_id, state=gamestate))
+
+    host = (
+        HostSubprocVecEnv([thunk] * num_envs)
+        if num_envs > 1
+        else HostDummyVecEnv([thunk])
+    )
+    venv = CallbackVecEnv(host)
+    return VecFrameStack(venv, frame_stack) if frame_stack > 1 else venv
+
+
 def wrap_deepmind_retro(env, scale=True, frame_stack=4):
     """retro_wrappers.wrap_deepmind_retro parity: warp + reward scale;
     frame stacking happens on device (VecFrameStack)."""

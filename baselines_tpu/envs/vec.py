@@ -228,6 +228,22 @@ class VecFrameStack(VecWrapper):
         return frames, FrameStackState(inner, frames), rew, done, info
 
 
+class VecRewardScale(VecWrapper):
+    """reward *= scale at the vector level — the --reward_scale flag
+    (cmd_util.py:43, applied per-env in make_env via RewardScaler,
+    retro_wrappers.py).  Sits OUTSIDE VecMonitor so episode stats stay in
+    raw units, INSIDE VecNormalize so return normalization sees the scaled
+    stream (reference wrapper order in cmd_util.make_env)."""
+
+    def __init__(self, venv, scale: float):
+        super().__init__(venv)
+        self.scale = float(scale)
+
+    def step(self, key, state, actions):
+        obs, state, rew, done, info = self.venv.step(key, state, actions)
+        return obs, state, rew * self.scale, done, info
+
+
 @struct.dataclass
 class NormalizeState:
     inner: Any
@@ -271,10 +287,17 @@ class VecNormalize(VecWrapper):
             return obs
         return ob_rms.normalize(obs, clip=self.clipob, epsilon=self.epsilon)
 
+    # trained statistics injected before reset (evaluate/--play uses this to
+    # replay a saved model under the normalization it was trained with)
+    _init_stats = None
+
     def reset(self, key):
         obs, inner = self.venv.reset(key)
-        ob_rms = RunningMeanStd.create(self.observation_space.shape)
-        ret_rms = RunningMeanStd.create(())
+        if self._init_stats is not None:
+            ob_rms, ret_rms = self._init_stats
+        else:
+            ob_rms = RunningMeanStd.create(self.observation_space.shape)
+            ret_rms = RunningMeanStd.create(())
         if self.ob:
             ob_rms = ob_rms.update(obs, axis_name=self.axis_name)
         state = NormalizeState(
@@ -298,3 +321,27 @@ class VecNormalize(VecWrapper):
         ret = jnp.where(done, 0.0, ret)
         new_state = NormalizeState(inner, ob_rms, ret_rms, ret)
         return self._norm_obs(ob_rms, obs), new_state, rew, done, info
+
+
+def find_normalize_state(env_state) -> NormalizeState | None:
+    """Walk the wrapper-state chain for a NormalizeState (None if the env is
+    not normalized).  Used to fold VecNormalize statistics into Model.save —
+    the --save_path/--play normalization fix (README.md:117 wart)."""
+    while env_state is not None:
+        if isinstance(env_state, NormalizeState):
+            return env_state
+        env_state = getattr(env_state, "inner", None)
+    return None
+
+
+def replace_normalize_stats(env_state, ob_rms, ret_rms):
+    """Return env_state with its NormalizeState's running statistics swapped
+    for the given ones (no-op when the chain has no NormalizeState)."""
+    if env_state is None:
+        return None
+    if isinstance(env_state, NormalizeState):
+        return env_state.replace(ob_rms=ob_rms, ret_rms=ret_rms)
+    inner = getattr(env_state, "inner", None)
+    if inner is None:
+        return env_state
+    return env_state.replace(inner=replace_normalize_stats(inner, ob_rms, ret_rms))

@@ -143,7 +143,9 @@ class NativeVecEnv:
         )
         done = self._done.astype(bool)
         infos = [
-            {"terminal_observation": self._terminal_obs[i]} if done[i] else {}
+            # copy: self._terminal_obs is a reused buffer the next step()
+            # overwrites in place; consumers may retain infos across steps
+            {"terminal_observation": self._terminal_obs[i].copy()} if done[i] else {}
             for i in range(self.num_envs)
         ]
         return self._obs.copy(), self._rew.copy(), done, infos

@@ -168,7 +168,7 @@ bool mcar_step(Pool& p, int i, const float* act, float* obs, float* rew, bool co
     if (position > MAX_POS) position = MAX_POS;
     if (position < MIN_POS) position = MIN_POS;
     if (position <= MIN_POS && velocity < 0) velocity = 0.0;
-    done = position >= GOAL;  // gymnasium also requires velocity>=goal_velocity(=0)
+    done = position >= GOAL && velocity >= 0.0;  // gymnasium: forward at goal
     *rew = (float)((done ? 100.0 : 0.0) - 0.1 * force * force);
   } else {
     constexpr double FORCE = 0.001, GRAVITY = 0.0025, GOAL = 0.5;
@@ -180,7 +180,7 @@ bool mcar_step(Pool& p, int i, const float* act, float* obs, float* rew, bool co
     if (position > MAX_POS) position = MAX_POS;
     if (position < MIN_POS) position = MIN_POS;
     if (position <= MIN_POS && velocity < 0) velocity = 0.0;
-    done = position >= GOAL;
+    done = position >= GOAL && velocity >= 0.0;
     *rew = -1.0f;
   }
   s[0] = position; s[1] = velocity;

@@ -38,6 +38,18 @@ def train(args, extra_args):
     if "num_env" in alg_kwargs:
         alg_kwargs["num_envs"] = alg_kwargs.pop("num_env")
 
+    # env-construction flags ride to the learner's build_env call
+    # (--reward_scale ref cmd_util.py:43, video flags ref cmd_util.py:163-164,
+    # --gamestate ref run.py:99-101)
+    env_kwargs = dict(alg_kwargs.pop("env_kwargs", None) or {})
+    if args.reward_scale != 1.0:
+        env_kwargs["reward_scale"] = args.reward_scale
+    if args.save_video_interval:
+        env_kwargs["save_video_interval"] = args.save_video_interval
+        env_kwargs["save_video_length"] = args.save_video_length
+    if args.gamestate:
+        env_kwargs["gamestate"] = args.gamestate
+
     logger.log(f"Training {args.alg} on {args.env} with arguments \n{alg_kwargs}")
 
     model = learn(
@@ -45,6 +57,7 @@ def train(args, extra_args):
         seed=args.seed,
         total_timesteps=total_timesteps,
         load_path=args.load_path,
+        env_kwargs=env_kwargs or None,
         **alg_kwargs,
     )
     return model
@@ -56,7 +69,15 @@ def main(argv=None):
     args, unknown_args = arg_parser.parse_known_args(argv)
     extra_args = parse_cmdline_kwargs(unknown_args)
 
+    import os
+
     import jax
+
+    # honor JAX_PLATFORMS even when a site plugin (TPU runtime hook) already
+    # forced a platform via jax.config at interpreter start — the env var is
+    # the documented way to run the CLI on CPU for tests/dev
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     logger.configure_for_process(jax.process_index(), dir=args.log_path)
 
