@@ -148,6 +148,23 @@ def build_env(
     return venv
 
 
+def build_env_pair(env_id: str, num_envs: int, **env_kwargs):
+    """Two identical host-backed env chains of num_envs/2 each, bundled for
+    the overlapped (antiphase) rollout — see envs/host_pipeline.py.  The
+    groups own separate worker pools so one can step while the other's
+    actions are computed on device."""
+    from baselines_tpu.envs.host_pipeline import PipelinedHostVecPair
+
+    assert num_envs >= 2 and num_envs % 2 == 0, "pipelining needs an even env count >= 2"
+    assert not env_kwargs.get("save_video_interval"), (
+        "video capture is not supported on the pipelined rollout path"
+    )
+    half = num_envs // 2
+    return PipelinedHostVecPair(
+        build_env(env_id, half, **env_kwargs), build_env(env_id, half, **env_kwargs)
+    )
+
+
 @struct.dataclass
 class Trajectory:
     """Time-major (T, N, ...) rollout record."""
@@ -193,6 +210,110 @@ def run_rollout(policy, venv, params, key, env_state, obs, rnn_state, last_done,
         params, obs, rnn_state, last_done.astype(jnp.float32)
     )
     return key, env_state, obs, rnn_state, last_done, traj, last_value
+
+
+def init_pipe_state(policy, pair, params, key, reset_a, reset_b):
+    """Prime the pipelined rollout: group B's first action is computed and
+    submitted so every subsequent scan body finds one B step in flight.
+    Runs eagerly once at training start (io_callbacks execute host-side)."""
+    from baselines_tpu.envs.host_pipeline import PipeState
+
+    assert not policy.is_recurrent, "pipelined rollouts support feedforward policies"
+    obs_a, st_a = reset_a
+    obs_b, st_b = reset_b
+    n = pair.a.num_envs
+    act_b, val_b, nlp_b, _ = policy.step(params, key, obs_b, None, None)
+    pair.submit_b(act_b)
+    return PipeState(
+        state_a=st_a,
+        state_b=st_b,
+        obs_a=obs_a,
+        pend_obs_b=obs_b,
+        pend_act_b=act_b,
+        pend_val_b=val_b,
+        pend_nlp_b=nlp_b,
+        last_done_a=jnp.zeros((n,), bool),
+        last_done_b=jnp.zeros((n,), bool),
+    )
+
+
+def run_rollout_pipelined(policy, pair, params, key, ps, nsteps: int):
+    """T antiphase steps over the env-group pair: group A's host step runs
+    while the device computes group B's actions and vice versa
+    (envs/host_pipeline.py).  Returns (key, pipe_state, traj, last_value)
+    with traj leaves (T, N) — group A in columns [:N/2], group B (one env
+    step behind in wall-clock, fully on-policy) in columns [N/2:].
+
+    VecNormalize statistics of the two groups are exactly re-merged after
+    the scan (running_stats.merge_branched), the in-process analog of the
+    reference's cross-rank moment Allreduce (mpi_running_mean_std.py:41-48).
+    """
+    from baselines_tpu.core.running_stats import merge_branched
+    from baselines_tpu.envs.host_pipeline import PipeState, collect_through
+    from baselines_tpu.envs.vec import find_normalize_state, replace_normalize_stats
+
+    ns_prev = find_normalize_state(ps.state_a)
+
+    def body(carry, _):
+        key, ps = carry
+        key, ka, kb = jax.random.split(key, 3)
+        mask_a = ps.last_done_a.astype(jnp.float32)
+        act_a, val_a, nlp_a, _ = policy.step(params, ka, ps.obs_a, None, None)
+        # submit A (A's envs now stepping), harvest B's in-flight step
+        base_b = pair.swap_ab(act_a)
+        obs_b, st_b, rew_b, done_b, _ = collect_through(pair.b, ps.state_b, base_b)
+        tb = Trajectory(
+            obs=ps.pend_obs_b,
+            actions=ps.pend_act_b,
+            values=ps.pend_val_b,
+            neglogps=ps.pend_nlp_b,
+            rewards=rew_b,
+            dones=done_b,
+            rnn_masks=ps.last_done_b.astype(jnp.float32),
+        )
+        # B's next action computes while A's envs are still stepping
+        act_b, val_b, nlp_b, _ = policy.step(params, kb, obs_b, None, None)
+        base_a = pair.swap_ba(act_b)
+        obs_a, st_a, rew_a, done_a, _ = collect_through(pair.a, ps.state_a, base_a)
+        ta = Trajectory(
+            obs=ps.obs_a,
+            actions=act_a,
+            values=val_a,
+            neglogps=nlp_a,
+            rewards=rew_a,
+            dones=done_a,
+            rnn_masks=mask_a,
+        )
+        nps = PipeState(
+            state_a=st_a,
+            state_b=st_b,
+            obs_a=obs_a,
+            pend_obs_b=obs_b,
+            pend_act_b=act_b,
+            pend_val_b=val_b,
+            pend_nlp_b=nlp_b,
+            last_done_a=done_a,
+            last_done_b=done_b,
+        )
+        return (key, nps), (ta, tb)
+
+    (key, ps), (ta, tb) = jax.lax.scan(body, (key, ps), None, length=nsteps)
+    traj = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], axis=1), ta, tb
+    )
+    last_val_a = policy.value(params, ps.obs_a, None, None)
+    last_value = jnp.concatenate([last_val_a, ps.pend_val_b], axis=0)
+
+    if ns_prev is not None:
+        na = find_normalize_state(ps.state_a)
+        nb = find_normalize_state(ps.state_b)
+        ob_rms = merge_branched(ns_prev.ob_rms, na.ob_rms, nb.ob_rms)
+        ret_rms = merge_branched(ns_prev.ret_rms, na.ret_rms, nb.ret_rms)
+        ps = ps.replace(
+            state_a=replace_normalize_stats(ps.state_a, ob_rms, ret_rms),
+            state_b=replace_normalize_stats(ps.state_b, ob_rms, ret_rms),
+        )
+    return key, ps, traj, last_value
 
 
 def adam_optimizer(max_grad_norm: float | None, eps: float = 1e-5):

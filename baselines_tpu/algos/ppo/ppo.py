@@ -137,11 +137,14 @@ def make_update_fn(
     cliprange_fn,
     nupdates,
     microbatch_size=None,
+    pipelined=False,
 ):
     nenvs = venv.num_envs
     loss_fn = make_ppo_loss(policy, ent_coef, vf_coef)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     recurrent = policy.is_recurrent
+    if pipelined:
+        assert not recurrent, "pipelined rollouts support feedforward policies"
     if recurrent:
         assert nenvs % nminibatches == 0, (
             "recurrent PPO needs nminibatches to divide num_envs (ppo2/ppo2.py:107)"
@@ -177,17 +180,25 @@ def make_update_fn(
         cliprange = cliprange_fn(frac)
 
         rollout_init_rnn = state.rnn_state
-        key, env_state, obs, rnn_state, last_done, traj, last_value = run_rollout(
-            policy,
-            venv,
-            state.params,
-            state.key,
-            state.env_state,
-            state.obs,
-            state.rnn_state,
-            state.last_done,
-            nsteps,
-        )
+        if pipelined:
+            from baselines_tpu.algos.common import run_rollout_pipelined
+
+            key, env_state, traj, last_value = run_rollout_pipelined(
+                policy, venv, state.params, state.key, state.env_state, nsteps
+            )
+            obs, rnn_state, last_done = state.obs, state.rnn_state, state.last_done
+        else:
+            key, env_state, obs, rnn_state, last_done, traj, last_value = run_rollout(
+                policy,
+                venv,
+                state.params,
+                state.key,
+                state.env_state,
+                state.obs,
+                state.rnn_state,
+                state.last_done,
+                nsteps,
+            )
         advs, returns = gae(traj.rewards, traj.values, traj.dones, last_value, gamma, lam)
 
         batch_t = (traj.obs, traj.actions, returns, traj.values, traj.neglogps, traj.rnn_masks)
@@ -280,11 +291,36 @@ def learn(
     load_path: str | None = None,
     value_network: str | None = None,
     microbatch_size: int | None = None,
+    pipeline: bool | None = None,
     mesh=None,
     **network_kwargs,
 ) -> Model:
-    """Uniform learn contract (ppo2/ppo2.py:21-218 signature analog)."""
-    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
+    """Uniform learn contract (ppo2/ppo2.py:21-218 signature analog).
+
+    pipeline: overlap host env stepping with device compute via the
+    antiphase env-group pair (envs/host_pipeline.py).  None (default)
+    auto-enables for host/native-backed envs with an even num_envs >= 2 and
+    a feedforward network; pure-JAX envs always use the fused on-device
+    rollout (no host to overlap with)."""
+    from baselines_tpu.envs.registry import is_jax_env
+
+    if pipeline is None:
+        pipeline = (
+            env is None
+            and env_id is not None
+            and not is_jax_env(env_id)
+            and num_envs >= 2
+            and num_envs % 2 == 0
+            and mesh is None
+            and "lstm" not in network
+        )
+    if pipeline:
+        from baselines_tpu.algos.common import build_env_pair, init_pipe_state
+
+        assert env is None, "pipeline mode builds its own env pair from env_id"
+        venv = build_env_pair(env_id, num_envs, **(env_kwargs or {}))
+    else:
+        venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nbatch = nenvs * nsteps
     nupdates = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0
@@ -299,8 +335,16 @@ def learn(
 
     key = seed_key(seed)
     key, kreset, kinit = jax.random.split(key, 3)
-    obs, env_state = venv.reset(kreset)
-    params = policy.init(kinit, obs)
+    if pipeline:
+        kra, krb, kprime = jax.random.split(kreset, 3)
+        reset_a = venv.a.reset(kra)
+        reset_b = venv.b.reset(krb)
+        obs = reset_a[0]
+        params = policy.init(kinit, obs)
+        env_state = init_pipe_state(policy, venv, params, kprime, reset_a, reset_b)
+    else:
+        obs, env_state = venv.reset(kreset)
+        params = policy.init(kinit, obs)
     tx = adam_optimizer(max_grad_norm)
     opt_state = tx.init(params)
 
@@ -340,6 +384,7 @@ def learn(
             cliprange_fn=resolve_fraction_schedule(cliprange),
             nupdates=nupdates,
             microbatch_size=microbatch_size,
+            pipelined=pipeline,
         ),
         donate_argnums=0,
     )

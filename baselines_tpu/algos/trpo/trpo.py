@@ -96,10 +96,20 @@ def learn(
     fvp_subsample: int = 5,
     log_interval: int = 1,
     load_path: str | None = None,
+    normalize_observations: bool = False,
     mesh=None,
     **network_kwargs,
 ) -> Model:
-    """trpo_mpi.learn analog (trpo_mpi.py:89-145 signature/defaults)."""
+    """trpo_mpi.learn analog (trpo_mpi.py:89-145 signature/defaults).
+
+    normalize_observations (trpo_mpi defaults.py mujoco): the reference
+    normalizes inside the policy via an in-graph RunningMeanStd
+    (policies.py:182-185); here observation normalization is the env's job
+    (VecNormalize, stats checkpointed with the model), so this flag just
+    guarantees the env chain is normalized."""
+    if env is None and normalize_observations:
+        env_kwargs = dict(env_kwargs or {})
+        env_kwargs.setdefault("normalize", True)
     venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nsteps = max(timesteps_per_batch // nenvs, 1)

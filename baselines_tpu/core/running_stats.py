@@ -79,3 +79,22 @@ class RunningMeanStd:
 
     def denormalize(self, y, epsilon: float = 1e-8):
         return y * jnp.sqrt(self.var + epsilon) + self.mean
+
+
+def merge_branched(prev: RunningMeanStd, a: RunningMeanStd, b: RunningMeanStd) -> RunningMeanStd:
+    """Exact merge of two statistics that both branched from `prev` and then
+    folded in DISJOINT data (the two env groups of a pipelined rollout,
+    envs/host_pipeline.py).  Works in (count, sum, sumsq) space where the
+    union is simply a + b - prev — the mpi Allreduce-of-moments analog
+    (mpi_running_mean_std.py:41-48) for in-process branches."""
+
+    def sums(r):
+        s = r.mean * r.count
+        sq = (r.var + jnp.square(r.mean)) * r.count
+        return r.count, s, sq
+
+    (cp, sp, qp), (ca, sa, qa), (cb, sb, qb) = sums(prev), sums(a), sums(b)
+    count = ca + cb - cp
+    mean = (sa + sb - sp) / count
+    var = (qa + qb - qp) / count - jnp.square(mean)
+    return RunningMeanStd(mean=mean, var=jnp.maximum(var, 0.0), count=count)

@@ -51,8 +51,8 @@ class CallbackVecEnv:
         obs = self.host.reset(int(np.asarray(seed)))
         return np.asarray(obs, self.observation_space.dtype)
 
-    def _host_step(self, actions):
-        obs, rew, done, infos = self.host.step(np.asarray(actions))
+    def _format_results(self, results):
+        obs, rew, done, infos = results
         terminal_obs = np.array(obs)
         for i, info in enumerate(infos):
             if "terminal_observation" in info:
@@ -65,6 +65,29 @@ class CallbackVecEnv:
             terminal_obs.astype(self.observation_space.dtype),
         )
 
+    def _host_step(self, actions):
+        return self._format_results(self.host.step(np.asarray(actions)))
+
+    def _host_submit(self, actions):
+        """Dispatch the batch to the pool and return immediately (the
+        step_async leg; envs/host_pipeline.py pairs it with another group's
+        collect so env time overlaps device compute)."""
+        self.host.step_async(np.asarray(actions))
+        return np.int32(0)
+
+    def _host_collect(self):
+        return self._format_results(self.host.step_wait())
+
+    @property
+    def step_result_sds(self):
+        """ShapeDtypeStructs of one formatted step result."""
+        return (
+            self._obs_sds,
+            jax.ShapeDtypeStruct((self.num_envs,), jnp.float32),
+            jax.ShapeDtypeStruct((self.num_envs,), jnp.bool_),
+            self._obs_sds,
+        )
+
     # -- functional interface ---------------------------------------------
     def reset(self, key):
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
@@ -75,15 +98,7 @@ class CallbackVecEnv:
 
     def step(self, key, state, actions):
         obs, rew, done, terminal_obs = jax.experimental.io_callback(
-            self._host_step,
-            (
-                self._obs_sds,
-                jax.ShapeDtypeStruct((self.num_envs,), jnp.float32),
-                jax.ShapeDtypeStruct((self.num_envs,), jnp.bool_),
-                self._obs_sds,
-            ),
-            actions,
-            ordered=True,
+            self._host_step, self.step_result_sds, actions, ordered=True
         )
         return obs, state + 1, rew, done, {"terminal_obs": terminal_obs}
 

@@ -98,6 +98,18 @@ class HostVecEnv:
     def step(self, actions):
         raise NotImplementedError
 
+    # -- async split (vec_env.py:29-108 step_async/step_wait contract) --------
+    # Subclasses override for real asynchrony; the default degrades to a
+    # synchronous step buffered until step_wait.
+    _sync_result = None
+
+    def step_async(self, actions):
+        self._sync_result = self.step(actions)
+
+    def step_wait(self):
+        r, self._sync_result = self._sync_result, None
+        return r
+
     def render(self):
         """Tiled rgb frame of the member envs (VecEnv.render 'rgb_array'
         mode, vec_env.py:110-121); envs must be built with
@@ -227,10 +239,15 @@ class HostSubprocVecEnv(HostVecEnv):
         obs = [o for remote in self.remotes for o in remote.recv()]
         return np.stack(obs)
 
-    def step(self, actions):
+    def step_async(self, actions):
+        """Dispatch to workers and return immediately — the envs step while
+        the caller computes (subproc_vec_env.py:75-80)."""
         chunks = np.array_split(np.asarray(actions), self.nremotes)
         for remote, chunk in zip(self.remotes, chunks):
             remote.send(("step", chunk))
+
+    def step_wait(self):
+        """Block for outstanding worker results (subproc_vec_env.py:82-88)."""
         results = [r for remote in self.remotes for r in remote.recv()]
         obs, rews, dones, infos = zip(*results)
         return (
@@ -239,6 +256,10 @@ class HostSubprocVecEnv(HostVecEnv):
             np.asarray(dones, bool),
             list(infos),
         )
+
+    def step(self, actions):
+        self.step_async(actions)
+        return self.step_wait()
 
     def render(self):
         from baselines_tpu.core.tile_images import tile_images
@@ -319,9 +340,11 @@ class HostShmemVecEnv(HostSubprocVecEnv):
             remote.recv()
         return self._read_obs()
 
-    def step(self, actions):
+    def step_async(self, actions):
         for remote, a in zip(self.remotes, actions):
             remote.send(("step", a))
+
+    def step_wait(self):
         results = [remote.recv() for remote in self.remotes]
         rews, dones, infos = zip(*results)
         return (
@@ -330,6 +353,10 @@ class HostShmemVecEnv(HostSubprocVecEnv):
             np.asarray(dones, bool),
             list(infos),
         )
+
+    def step(self, actions):
+        self.step_async(actions)
+        return self.step_wait()
 
 
 def _shmem_worker(remote, parent_remote, env_fn_wrapper, shm_buf, obs_shape, obs_dtype):

@@ -113,6 +113,33 @@ class EpisodeStats:
         """eplenmean (ppo2/ppo2.py:202)."""
         return self._masked_mean(self.len_buffer)
 
+    def _masked_sum_and_count(self, buf):
+        valid = jnp.minimum(self.episodes, EPISODE_BUFFER)
+        mask = jnp.arange(EPISODE_BUFFER) < valid
+        return jnp.sum(jnp.where(mask, buf, 0.0)), valid
+
+    def merge(self, other: "EpisodeStats") -> "MergedStats":
+        """Episode-count-weighted view over two groups' recent episodes —
+        logging aggregation for the pipelined env pair (host_pipeline.py)."""
+        rs, rc = self._masked_sum_and_count(self.ret_buffer)
+        ros, roc = other._masked_sum_and_count(other.ret_buffer)
+        ls, _ = self._masked_sum_and_count(self.len_buffer)
+        los, _ = other._masked_sum_and_count(other.len_buffer)
+        total = rc + roc
+        denom = jnp.maximum(total, 1)
+        return MergedStats(
+            mean_return=jnp.where(total > 0, (rs + ros) / denom, jnp.nan),
+            mean_length=jnp.where(total > 0, (ls + los) / denom, jnp.nan),
+            episodes=self.episodes + other.episodes,
+        )
+
+
+@struct.dataclass
+class MergedStats:
+    mean_return: jnp.ndarray
+    mean_length: jnp.ndarray
+    episodes: jnp.ndarray
+
 
 class VecJaxEnv:
     """vmap-batched env with subprocess-matching auto-reset."""
@@ -143,6 +170,12 @@ class VecJaxEnv:
 
 
 class VecWrapper:
+    """Base vec wrapper.  Every concrete wrapper is a pure POST-transform of
+    the inner step results (none touches actions), factored as
+    `unwrap_state` + `post` so a pipelined rollout engine can drive the base
+    env's submit/collect split and replay the wrapper chain on collect
+    (envs/host_pipeline.py)."""
+
     def __init__(self, venv):
         self.venv = venv
         self.num_envs = venv.num_envs
@@ -152,8 +185,21 @@ class VecWrapper:
     def reset(self, key):
         return self.venv.reset(key)
 
+    def unwrap_state(self, state):
+        """This wrapper's view of the inner env state (identity for
+        stateless wrappers)."""
+        return state
+
+    def post(self, state, obs, inner_state, rew, done, info):
+        """Transform inner step results; returns the standard 5-tuple with
+        this wrapper's state rebuilt around `inner_state`."""
+        return obs, inner_state, rew, done, info
+
     def step(self, key, state, actions):
-        return self.venv.step(key, state, actions)
+        obs, inner, rew, done, info = self.venv.step(
+            key, self.unwrap_state(state), actions
+        )
+        return self.post(state, obs, inner, rew, done, info)
 
     def close(self):
         # forwarded like VecEnvWrapper (vec_env.py:140-175); releases host
@@ -176,13 +222,19 @@ class VecMonitor(VecWrapper):
         obs, inner = self.venv.reset(key)
         return obs, MonitorState(inner, EpisodeStats.create(self.num_envs))
 
-    def step(self, key, state, actions):
-        obs, inner, rew, done, info = self.venv.step(key, state.inner, actions)
+    def unwrap_state(self, state):
+        return state.inner
+
+    def post(self, state, obs, inner, rew, done, info):
         stats = state.stats.update(rew, done)
         return obs, MonitorState(inner, stats), rew, done, info
 
     @staticmethod
-    def get_stats(state) -> EpisodeStats:
+    def get_stats(state):
+        if hasattr(state, "state_a"):  # pipelined pair: merge both groups
+            return VecMonitor.get_stats(state.state_a).merge(
+                VecMonitor.get_stats(state.state_b)
+            )
         while not isinstance(state, MonitorState):
             state = state.inner
         return state.stats
@@ -221,8 +273,10 @@ class VecFrameStack(VecWrapper):
         frames = self._insert(frames, obs)
         return frames, FrameStackState(inner, frames)
 
-    def step(self, key, state, actions):
-        obs, inner, rew, done, info = self.venv.step(key, state.inner, actions)
+    def unwrap_state(self, state):
+        return state.inner
+
+    def post(self, state, obs, inner, rew, done, info):
         frames = _where_done(done, jnp.zeros_like(state.frames), state.frames)
         frames = self._insert(frames, obs)
         return frames, FrameStackState(inner, frames), rew, done, info
@@ -239,9 +293,8 @@ class VecRewardScale(VecWrapper):
         super().__init__(venv)
         self.scale = float(scale)
 
-    def step(self, key, state, actions):
-        obs, state, rew, done, info = self.venv.step(key, state, actions)
-        return obs, state, rew * self.scale, done, info
+    def post(self, state, obs, inner, rew, done, info):
+        return obs, inner, rew * self.scale, done, info
 
 
 @struct.dataclass
@@ -305,8 +358,10 @@ class VecNormalize(VecWrapper):
         )
         return self._norm_obs(ob_rms, obs), state
 
-    def step(self, key, state, actions):
-        obs, inner, rew, done, info = self.venv.step(key, state.inner, actions)
+    def unwrap_state(self, state):
+        return state.inner
+
+    def post(self, state, obs, inner, rew, done, info):
         ob_rms, ret_rms, ret = state.ob_rms, state.ret_rms, state.ret
         ret = ret * self.gamma + rew
         if self.ob:
@@ -326,21 +381,32 @@ class VecNormalize(VecWrapper):
 def find_normalize_state(env_state) -> NormalizeState | None:
     """Walk the wrapper-state chain for a NormalizeState (None if the env is
     not normalized).  Used to fold VecNormalize statistics into Model.save —
-    the --save_path/--play normalization fix (README.md:117 wart)."""
+    the --save_path/--play normalization fix (README.md:117 wart).  For a
+    pipelined env pair (host_pipeline.PipeState) group A's statistics are
+    returned (the groups are merged every rollout)."""
     while env_state is not None:
         if isinstance(env_state, NormalizeState):
             return env_state
+        if hasattr(env_state, "state_a"):
+            env_state = env_state.state_a
+            continue
         env_state = getattr(env_state, "inner", None)
     return None
 
 
 def replace_normalize_stats(env_state, ob_rms, ret_rms):
     """Return env_state with its NormalizeState's running statistics swapped
-    for the given ones (no-op when the chain has no NormalizeState)."""
+    for the given ones (no-op when the chain has no NormalizeState); both
+    groups of a pipelined pair are updated."""
     if env_state is None:
         return None
     if isinstance(env_state, NormalizeState):
         return env_state.replace(ob_rms=ob_rms, ret_rms=ret_rms)
+    if hasattr(env_state, "state_a"):
+        return env_state.replace(
+            state_a=replace_normalize_stats(env_state.state_a, ob_rms, ret_rms),
+            state_b=replace_normalize_stats(env_state.state_b, ob_rms, ret_rms),
+        )
     inner = getattr(env_state, "inner", None)
     if inner is None:
         return env_state

@@ -134,6 +134,28 @@ class NativeVecEnv:
         self._lib.btenv_reset(self._handle, self._obs)
         return self._obs.copy()
 
+    def step_async(self, actions):
+        """Run the native batch step on a worker thread — ctypes releases
+        the GIL for the duration of the C call, so the env batch steps
+        concurrently with device compute (the step_async/step_wait split of
+        subproc_vec_env.py:75-88, minus the processes)."""
+        import concurrent.futures
+
+        if not hasattr(self, "_pool"):
+            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        acts = np.ascontiguousarray(
+            np.reshape(np.asarray(actions, np.float32), (self.num_envs, self._act_dim))
+        )
+        self._pending = self._pool.submit(
+            self._lib.btenv_step,
+            self._handle, acts, self._obs, self._rew, self._done, self._terminal_obs,
+        )
+
+    def step_wait(self):
+        self._pending.result()
+        self._pending = None
+        return self._collect()
+
     def step(self, actions):
         acts = np.ascontiguousarray(
             np.reshape(np.asarray(actions, np.float32), (self.num_envs, self._act_dim))
@@ -141,6 +163,9 @@ class NativeVecEnv:
         self._lib.btenv_step(
             self._handle, acts, self._obs, self._rew, self._done, self._terminal_obs
         )
+        return self._collect()
+
+    def _collect(self):
         done = self._done.astype(bool)
         infos = [
             # copy: self._terminal_obs is a reused buffer the next step()
