@@ -23,6 +23,7 @@ tree.
 
 from __future__ import annotations
 
+import os.path as osp
 import time
 from typing import Any, Sequence
 
@@ -168,6 +169,8 @@ def learn(
     layer_norm: bool = False,
     grad_norm_clipping: float = 10.0,
     chunk_size: int = 256,
+    checkpoint_freq: int | None = 10000,
+    checkpoint_path: str | None = None,
     load_path: str | None = None,
     mesh=None,
     **network_kwargs,
@@ -354,12 +357,83 @@ def learn(
         model.load(load_path)
         state = model.state
 
+    # -- checkpoint machinery (deepq/deepq.py:244-331) -----------------------
+    # <checkpoint_path>/latest: periodic full-training-fields snapshot, auto-
+    # resumed when present (:244-257); <checkpoint_path>/best: kept whenever
+    # the 100-episode mean reward improves, restored at the end so the
+    # returned model is the BEST seen, not the last (:318-331).  The env and
+    # replay buffer restart fresh on resume, like the reference (which
+    # restores TF variables only).
+    latest_file = best_file = None
+    best_mean_reward = None
+    ckpt_marker = -1
+    if checkpoint_path is not None:
+        from baselines_tpu.core import checkpoint as ckpt
+
+        latest_file = osp.join(checkpoint_path, "latest")
+        best_file = osp.join(checkpoint_path, "best")
+
+        def train_fields(s):
+            return {
+                "params": s.params,
+                "target_params": s.target_params,
+                "opt_state": s.opt_state,
+                "t": s.t,
+                "n_target_syncs": s.n_target_syncs,
+                "param_noise_scale": s.param_noise_scale,
+            }
+
+        def restore_fields(s, path, with_progress):
+            from flax import serialization as ser
+
+            with open(path, "rb") as f:
+                raw = ser.msgpack_restore(f.read())
+            raw.pop("best_mean_reward", None)
+            if not with_progress:
+                raw.pop("t", None)
+                raw.pop("n_target_syncs", None)
+            tmpl = jax.device_get(train_fields(s))
+            loaded = {k: ser.from_state_dict(tmpl[k], v) for k, v in raw.items()}
+            return s.replace(**jax.device_put(loaded))
+
+        if osp.exists(latest_file):
+            state = restore_fields(state, latest_file, with_progress=True)
+            logger.log(f"Resumed training state from {latest_file} at t={int(state.t)}")
+        if osp.exists(best_file):
+            from flax import serialization as _ser
+
+            with open(best_file, "rb") as f:
+                raw = _ser.msgpack_restore(f.read())
+            if "best_mean_reward" in raw:
+                best_mean_reward = float(raw["best_mean_reward"])
+                logger.log(f"Found best checkpoint (mean reward {best_mean_reward:.1f})")
+
     steps_per_chunk = chunk_size * nenvs
     nchunks = max(total_timesteps // steps_per_chunk, 1) if total_timesteps > 0 else 0
     tstart = time.time()
     last_log_episodes = 0
     for chunk in range(1, nchunks + 1):
         state = update_fn(state)
+        if latest_file is not None and checkpoint_freq:
+            t_now = int(state.t)
+            marker = t_now // checkpoint_freq
+            if t_now >= learning_starts and marker > ckpt_marker:
+                ckpt_marker = marker
+                ckpt.save_state(latest_file, train_fields(state))
+                stats = VecMonitor.get_stats(state.env_state)
+                episodes, mean100 = int(stats.episodes), float(stats.mean_return)
+                if episodes > 100 and (
+                    best_mean_reward is None or mean100 > best_mean_reward
+                ):
+                    if print_freq is not None:
+                        logger.log(
+                            f"Saving best model: mean reward "
+                            f"{best_mean_reward} -> {mean100:.1f}"
+                        )
+                    best_mean_reward = mean100
+                    payload = train_fields(state)
+                    payload["best_mean_reward"] = mean100
+                    ckpt.save_state(best_file, payload)
         if print_freq and chunk % max(1, (print_freq * 100) // steps_per_chunk) == 0:
             stats = VecMonitor.get_stats(state.env_state)
             episodes = int(stats.episodes)
@@ -372,5 +446,10 @@ def learn(
                              int(100 * float(exploration.value(int(state.t)))))
                 logger.logkv("fps", int(int(state.t) / (time.time() - tstart)))
                 logger.dumpkvs()
+    if best_file is not None and osp.exists(best_file):
+        # return the BEST model seen, not the last (deepq.py:327-331)
+        if print_freq is not None and best_mean_reward is not None:
+            logger.log(f"Restored model with mean reward: {best_mean_reward:.1f}")
+        state = restore_fields(state, best_file, with_progress=False)
     model.state = state
     return model

@@ -8,10 +8,11 @@ json-lines / csv-with-dynamic-columns / tensorboard events
 default (logger.py:372-399), and per-process-suffix muting for non-zero
 shards (logger.py:385-393).
 
-Differences by design: no MPI — the cross-host weighted mean of logged
-values (logger.py:319-328) is instead done by the caller through
-``distributed.collectives.host_weighted_mean`` before dumping, since in a
-JAX multi-host program only process 0 configures writing formats.
+Multi-host: when the program runs as several ``jax.distributed`` processes,
+``dumpkvs`` computes the cross-process count-weighted mean
+(``distributed.collectives.host_weighted_mean``) and only process 0 writes —
+the logger.py:319-328 MPI contract with the comm replaced by the JAX process
+group.
 """
 
 from __future__ import annotations
@@ -31,6 +32,19 @@ INFO = 20
 WARN = 30
 ERROR = 40
 DISABLED = 50
+
+
+def _multiprocess() -> bool:
+    """True when running as part of a jax.distributed process group (without
+    importing jax for the common single-process case)."""
+    if "jax" not in sys.modules:
+        return False
+    import jax
+
+    try:
+        return jax.process_count() > 1
+    except RuntimeError:  # backend not initialized yet
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -205,12 +219,28 @@ class Logger:
         self.name2cnt[key] = cnt + 1
 
     def dumpkvs(self):
-        if self.level == DISABLED:
+        if self.level == DISABLED and not _multiprocess():
             return {}
         d = dict(self.name2val)
+        if _multiprocess():
+            # cross-process count-weighted mean at dump time, only process 0
+            # writes (logger.py:319-328 MPI contract).  Collective: every
+            # process must call dumpkvs the same number of times, which the
+            # uniform learn loops guarantee.
+            import jax
+
+            from baselines_tpu.distributed.collectives import host_weighted_mean
+
+            d = host_weighted_mean(
+                {k: (v, self.name2cnt.get(k, 1)) for k, v in d.items()}
+            )
+            if jax.process_index() != 0 or self.level == DISABLED:
+                self.name2val.clear()
+                self.name2cnt.clear()
+                return d
         for fmt in self.output_formats:
             if isinstance(fmt, KVWriter):
-                fmt.writekvs(self.name2val)
+                fmt.writekvs(d)
         self.name2val.clear()
         self.name2cnt.clear()
         return d
@@ -263,8 +293,10 @@ def configure_for_process(process_index: int, dir=None, format_strs=None):
     if process_index == 0:
         configure(dir=dir, format_strs=format_strs)
     else:
+        # muted formats, NOT DISABLED: non-zero processes still participate
+        # in the collective dumpkvs reduction (logger.py:385-393 keeps
+        # rank-suffixed log files for the same reason)
         configure(dir=dir, format_strs=format_strs or ["log"], log_suffix=f"-proc{process_index:03d}")
-        Logger.CURRENT.set_level(DISABLED)
 
 
 def _get_current():

@@ -49,7 +49,17 @@ def maybe_initialize_distributed() -> None:
     if getattr(_jdist.global_state, "client", None) is not None:
         _distributed_initialized = True
         return
-    jax.distributed.initialize()
+    # explicit launcher env vars (the mpirun -np N re-exec contract of
+    # mpi_fork.py:3-23): JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES +
+    # JAX_PROCESS_ID; cluster auto-detection covers managed environments
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
     _distributed_initialized = True
 
 
