@@ -30,7 +30,8 @@ from baselines_tpu.envs.vec import VecFrameStack, VecJaxEnv, VecMonitor, VecNorm
 
 
 def make_host_vec_env(env_id: str, num_envs: int, env_type: str,
-                      need_render: bool = False, gamestate=None):
+                      need_render: bool = False, gamestate=None,
+                      keep_dict_obs: bool = False):
     """gymnasium-backed vec env behind the io_callback bridge; Atari ids get
     the DeepMind wrapper chain + device frame stack."""
     from baselines_tpu.envs.callback_env import CallbackVecEnv
@@ -48,6 +49,10 @@ def make_host_vec_env(env_id: str, num_envs: int, env_type: str,
     def thunk():
         import gymnasium as gym
 
+        if env_type == "robotics":
+            import gymnasium_robotics
+
+            gym.register_envs(gymnasium_robotics)
         return gym.make(env_id, render_mode="rgb_array" if need_render else None)
 
     host = (
@@ -55,7 +60,17 @@ def make_host_vec_env(env_id: str, num_envs: int, env_type: str,
         if num_envs > 1
         else HostDummyVecEnv([thunk])
     )
-    return CallbackVecEnv(host)
+    venv = CallbackVecEnv(host)
+    from baselines_tpu.envs.spaces import DictSpace
+
+    if not keep_dict_obs and isinstance(venv.observation_space, DictSpace):
+        # non-goal algorithms see obs ++ desired_goal as one flat Box
+        # (make_robotics_env's FlattenDictWrapper, cmd_util.py:124-135);
+        # HER builds its own goal-preserving chain instead
+        from baselines_tpu.envs.vec import VecFlattenDictObs
+
+        venv = VecFlattenDictObs(venv)
+    return venv
 
 
 def build_env(
@@ -70,6 +85,7 @@ def build_env(
     save_video_length: int = 200,
     video_dir: str | None = None,
     gamestate=None,
+    keep_dict_obs: bool = False,
 ):
     """Standard chain: base vec env → VecMonitor → [VecRewardScale] →
     [VecNormalize for continuous control] → [VecFrameStack] →
@@ -112,6 +128,7 @@ def build_env(
             host_env = make_host_vec_env(
                 env_id, num_envs, env_type,
                 need_render=save_video_interval > 0, gamestate=gamestate,
+                keep_dict_obs=keep_dict_obs,
             )
             venv = VecMonitor(host_env)
     if reward_scale != 1.0:
@@ -352,6 +369,11 @@ class Model:
     def params(self):
         return self.state.params
 
+    def _set_params(self, params):
+        """Install loaded params into the train state; subclasses with a
+        composite .params view (HER) override both accessors."""
+        self.state = self.state.replace(params=params)
+
     def initial_rnn_state(self, nenv: int):
         return self.policy.initial_state(nenv)
 
@@ -383,7 +405,7 @@ class Model:
         README.md:117 wart the reference's use_tf=False mode has; DDPG
         reaches the same end by bundling rms into .params,
         ddpg_learner.py:102-111 analog)."""
-        payload = {"model_params": self.state.params}
+        payload = {"model_params": self.params}
         ns = self._normalize_state()
         if ns is not None:
             payload["norm_ob_rms"] = ns.ob_rms
@@ -399,9 +421,9 @@ class Model:
             raw = serialization.msgpack_restore(f.read())
         if isinstance(raw, dict) and "model_params" in raw:
             params = serialization.from_state_dict(
-                jax.device_get(self.state.params), raw["model_params"]
+                jax.device_get(self.params), raw["model_params"]
             )
-            self.state = self.state.replace(params=jax.device_put(params))
+            self._set_params(jax.device_put(params))
             ns = self._normalize_state()
             if "norm_ob_rms" in raw and ns is not None:
                 ob_rms = serialization.from_state_dict(
@@ -416,10 +438,8 @@ class Model:
                     )
                 )
         else:  # legacy params-only checkpoint
-            params = serialization.from_state_dict(
-                jax.device_get(self.state.params), raw
-            )
-            self.state = self.state.replace(params=jax.device_put(params))
+            params = serialization.from_state_dict(jax.device_get(self.params), raw)
+            self._set_params(jax.device_put(params))
         return self
 
     def save_full(self, path):

@@ -34,7 +34,7 @@ from baselines_tpu.core.rng import seed_key
 from baselines_tpu.core.running_stats import RunningMeanStd
 from baselines_tpu.data.her_buffer import HerReplayBuffer
 from baselines_tpu.envs.base import TimeLimit
-from baselines_tpu.envs.registry import make_env
+from baselines_tpu.envs.registry import is_jax_env, make_env
 from baselines_tpu.nn.networks import get_network
 
 
@@ -73,6 +73,23 @@ class HERTrainState:
     g_rms: RunningMeanStd
     n_episodes: jnp.ndarray
     success_rate: jnp.ndarray
+    # host-env mode only: the live env stream carried across cycles (the
+    # pure-JAX path resets fresh envs per cycle instead)
+    env_state: Any = None
+    obs: Any = None
+
+
+# env-keyed parameter overrides (her/experiment/config.py:10-14); keyed by
+# env id with the gymnasium version suffix stripped
+DEFAULT_ENV_PARAMS = {
+    "FetchReach": {"n_cycles": 10},
+}
+
+
+def _env_overrides(env_id: str | None) -> dict:
+    if not env_id:
+        return {}
+    return DEFAULT_ENV_PARAMS.get(env_id.split("-v")[0], {})
 
 
 def learn(
@@ -84,8 +101,9 @@ def learn(
     seed: int | None = None,
     num_envs: int = 8,
     replay_k: float = 4,
-    n_cycles: int = 10,
+    n_cycles: int | None = None,
     n_batches: int = 40,
+    n_test_rollouts: int = 10,
     batch_size: int = 256,
     buffer_size_episodes: int = 10000,
     polyak: float = 0.95,
@@ -114,26 +132,82 @@ def learn(
 ) -> Model:
     """her.learn analog (her/her.py:87-177 + experiment/config.py DEFAULT_PARAMS:
     layers 3x256, pi_lr/q_lr 1e-3, polyak 0.95, replay_k 4, batch 256,
-    n_cycles, n_batches 40, gamma = 1 - 1/T)."""
-    if env is not None:
-        wrapped = env
+    n_cycles 50 (10 for FetchReach), n_batches 40, gamma = 1 - 1/T).
+
+    Goal envs come in two flavors: pure-JAX registered envs (PointReach)
+    rolled out with vmapped reset/step inside the jitted cycle, and host
+    gymnasium-robotics envs (FetchReach & co.) driven through the
+    io_callback bridge with dict observations — both with an independent
+    evaluator env set rolled out without exploration noise each epoch
+    (her/rollout.py evaluator + her/her.py:49-60)."""
+    if n_cycles is None:
+        n_cycles = _env_overrides(env_id).get("n_cycles", 50)
+    host_mode = env is None and env_id is not None and not is_jax_env(env_id)
+
+    if host_mode:
+        from baselines_tpu.envs.callback_env import CallbackVecEnv
+        from baselines_tpu.envs.gym_bridge import HostDummyVecEnv, HostSubprocVecEnv
+        from baselines_tpu.envs.registry import get_env_type
+
+        env_type = get_env_type(env_id)
+
+        def thunk():
+            import gymnasium as gym
+
+            if env_type == "robotics":
+                import gymnasium_robotics
+
+                gym.register_envs(gymnasium_robotics)
+            return gym.make(env_id)
+
+        def make_pool(n):
+            return (
+                HostSubprocVecEnv([thunk] * n) if n > 1 else HostDummyVecEnv([thunk])
+            )
+
+        train_venv = CallbackVecEnv(make_pool(num_envs), info_keys=("is_success",))
+        eval_venv = CallbackVecEnv(make_pool(num_envs), info_keys=("is_success",))
+        probe = thunk()
+        T = probe.spec.max_episode_steps
+        uw = probe.unwrapped
+        # reward recomputation for relabeled goals, in-graph
+        # (her_sampler.py:52-56 calls env.compute_reward; gymnasium-robotics
+        # goal envs use goal-distance thresholding)
+        threshold = float(getattr(uw, "distance_threshold", 0.05))
+        reward_type = getattr(uw, "reward_type", "sparse")
+        probe.close()
+        if reward_type == "sparse":
+            def compute_reward(ag, g):
+                d = jnp.linalg.norm(ag - g, axis=-1)
+                return -(d > threshold).astype(jnp.float32)
+        else:
+            def compute_reward(ag, g):
+                return -jnp.linalg.norm(ag - g, axis=-1)
+
+        ob_space = train_venv.observation_space
+        do = ob_space["observation"].shape[0]
+        dg = ob_space["desired_goal"].shape[0]
+        du = train_venv.action_space.shape[0]
+        max_action = jnp.asarray(train_venv.action_space.high)
     else:
-        wrapped = make_env(env_id)
-    assert isinstance(wrapped, TimeLimit), "HER needs a fixed-horizon goal env"
-    T = wrapped.max_episode_steps
-    base_env = wrapped.env
-    assert hasattr(base_env, "compute_reward"), "HER env must expose compute_reward"
+        wrapped = env if env is not None else make_env(env_id)
+        assert isinstance(wrapped, TimeLimit), "HER needs a fixed-horizon goal env"
+        T = wrapped.max_episode_steps
+        base_env = wrapped.env
+        assert hasattr(base_env, "compute_reward"), "HER env must expose compute_reward"
+        compute_reward = base_env.compute_reward
+
+        reset_v = jax.vmap(base_env.reset)
+        step_v = jax.vmap(base_env.step)
+
+        do = base_env.observation_space["observation"].shape[0]
+        dg = base_env.observation_space["desired_goal"].shape[0]
+        du = base_env.action_space.shape[0]
+        max_action = jnp.asarray(base_env.action_space.high)
+
     if gamma is None:
         gamma = 1.0 - 1.0 / T
     clip_return = 1.0 / (1.0 - gamma)
-
-    reset_v = jax.vmap(base_env.reset)
-    step_v = jax.vmap(base_env.step)
-
-    do = base_env.observation_space["observation"].shape[0]
-    dg = base_env.observation_space["desired_goal"].shape[0]
-    du = base_env.action_space.shape[0]
-    max_action = jnp.asarray(base_env.action_space.high)
 
     net_kwargs = dict(num_hidden=num_hidden, num_layers=num_layers, **network_kwargs)
     if network == "mlp":
@@ -174,46 +248,81 @@ def learn(
     def q(cparams, o_rms, g_rms, o, g, u):
         return critic_net.apply(cparams, norm(o_rms, o), norm(g_rms, g), u)
 
-    def rollout_episodes(state: HERTrainState):
-        """nenvs parallel T-step episodes (her/rollout.py:50-136)."""
-        key, kreset = jax.random.split(state.key)
-        obs, env_state = reset_v(jax.random.split(kreset, num_envs))
+    def _episode_scan(key, env_state, obs, aparams, o_rms, g_rms, explore,
+                      env_step=None):
+        """T-step episode scan shared by trainer and evaluator; the
+        evaluator runs the deterministic policy (her/rollout.py exploit
+        mode: noise_eps=0, random_eps=0).  env_step: the host-mode step
+        (train or evaluator pool)."""
 
         def step_fn(carry, _):
             key, env_state, obs = carry
             key, knoise, keps, krand, kstep = jax.random.split(key, 5)
             o, ag, g = obs["observation"], obs["achieved_goal"], obs["desired_goal"]
-            u = pi(state.actor_params, state.o_rms, state.g_rms, o, g)
-            u = u + noise_eps * jax.random.normal(knoise, u.shape)  # gaussian noise
-            u = jnp.clip(u, -1.0, 1.0)
-            u_rand = jax.random.uniform(krand, u.shape, minval=-1.0, maxval=1.0)
-            take_rand = jax.random.uniform(keps, (num_envs, 1)) < random_eps
-            u = jnp.where(take_rand, u_rand, u)
-            nobs, env_state, rew, done, info = step_v(
+            u = pi(aparams, o_rms, g_rms, o, g)
+            if explore:
+                u = u + noise_eps * jax.random.normal(knoise, u.shape)
+                u = jnp.clip(u, -1.0, 1.0)
+                u_rand = jax.random.uniform(krand, u.shape, minval=-1.0, maxval=1.0)
+                take_rand = jax.random.uniform(keps, (num_envs, 1)) < random_eps
+                u = jnp.where(take_rand, u_rand, u)
+            if host_mode:
+                # host pool: episodes are horizon-aligned (goal envs never
+                # terminate early, only truncate at T), so the auto-reset at
+                # the scan's last step starts the next cycle's episodes; the
+                # pre-reset final observation arrives as terminal_obs
+                nobs, env_state_, rew, done, info = env_step(
+                    kstep, env_state, max_action * u
+                )
+                final = info["terminal_obs"]
+                out = {
+                    "o": o, "ag": ag, "g": g, "u": u,
+                    "success": info["is_success"],
+                    "final_o": final["observation"],
+                    "final_ag": final["achieved_goal"],
+                }
+                return (key, env_state_, nobs), out
+            nobs, env_state_, rew, done, info = step_v(
                 jax.random.split(kstep, num_envs), env_state, max_action * u
             )
-            out = {"o": o, "ag": ag, "g": g, "u": u, "success": info["is_success"]}
-            return (key, env_state, nobs), out
+            out = {
+                "o": o, "ag": ag, "g": g, "u": u,
+                "success": info["is_success"],
+                "final_o": nobs["observation"],
+                "final_ag": nobs["achieved_goal"],
+            }
+            return (key, env_state_, nobs), out
 
-        (key, env_state, obs), tr = jax.lax.scan(
-            step_fn, (key, env_state, obs), None, length=T
+        return jax.lax.scan(step_fn, (key, env_state, obs), None, length=T)
+
+    def rollout_episodes(state: HERTrainState):
+        """nenvs parallel T-step episodes (her/rollout.py:50-136)."""
+        key, kreset = jax.random.split(state.key)
+        if host_mode:
+            env_state, obs = state.env_state, state.obs
+        else:
+            obs, env_state = reset_v(jax.random.split(kreset, num_envs))
+        (key, env_state, obs), tr = _episode_scan(
+            key, env_state, obs, state.actor_params, state.o_rms, state.g_rms, True,
+            env_step=train_venv.step if host_mode else None,
         )
-        # episode arrays: o/ag get the final observation appended (T+1)
+        # episode arrays: o/ag get the final observation appended (T+1);
+        # final_* at the last step is the true pre-reset observation
         o_seq = jnp.concatenate(
-            [tr["o"], obs["observation"][None]], axis=0
+            [tr["o"], tr["final_o"][-1][None]], axis=0
         ).swapaxes(0, 1)  # (B, T+1, do)
         ag_seq = jnp.concatenate(
-            [tr["ag"], obs["achieved_goal"][None]], axis=0
+            [tr["ag"], tr["final_ag"][-1][None]], axis=0
         ).swapaxes(0, 1)
         g_seq = tr["g"].swapaxes(0, 1)
         u_seq = tr["u"].swapaxes(0, 1)
         success = tr["success"][-1].astype(jnp.float32).mean()
-        return key, o_seq, ag_seq, g_seq, u_seq, success
+        return key, env_state, obs, o_seq, ag_seq, g_seq, u_seq, success
 
     def train_step(state: HERTrainState, _):
         key, ksample = jax.random.split(state.key)
         batch = buffer.sample(
-            state.buffer, ksample, batch_size, replay_k, base_env.compute_reward
+            state.buffer, ksample, batch_size, replay_k, compute_reward
         )
         o, o2, g, u, r = batch["o"], batch["o2"], batch["g"], batch["u"], batch["r"]
 
@@ -232,7 +341,7 @@ def learn(
         if bc_loss:
             kdemo = jax.random.fold_in(key, 777)
             demo = demo_buffer.sample(
-                demo_buffer_state, kdemo, demo_batch_size, 0.0, base_env.compute_reward
+                demo_buffer_state, kdemo, demo_batch_size, 0.0, compute_reward
             )  # replay_k=0: keep original goals for demos
 
         def aloss(ap):
@@ -271,7 +380,11 @@ def learn(
         return state, None
 
     def cycle_fn(state: HERTrainState):
-        key, o_seq, ag_seq, g_seq, u_seq, success = rollout_episodes(state)
+        key, env_state, obs, o_seq, ag_seq, g_seq, u_seq, success = rollout_episodes(
+            state
+        )
+        if host_mode:
+            state = state.replace(env_state=env_state, obs=obs)
         key, kstore = jax.random.split(key)
         buf = buffer.store_episodes(state.buffer, kstore, o_seq, ag_seq, g_seq, u_seq)
         # normalizer updates from the new episodes (her/ddpg.py:217-240)
@@ -301,6 +414,11 @@ def learn(
         )
         return state
 
+    init_env_state = init_obs = None
+    if host_mode:
+        key, ktr = jax.random.split(key)
+        init_obs, init_env_state = train_venv.reset(ktr)
+
     state = dealias(
         HERTrainState(
             actor_params=actor_params,
@@ -315,6 +433,8 @@ def learn(
             g_rms=RunningMeanStd.create((dg,)),
             n_episodes=jnp.zeros((), jnp.int32),
             success_rate=jnp.zeros(()),
+            env_state=init_env_state,
+            obs=init_obs,
         )
     )
     if mesh is not None:
@@ -323,6 +443,52 @@ def learn(
         state = shard_train_state(mesh, state, num_envs)
 
     cycle = jax.jit(cycle_fn, donate_argnums=0)
+
+    # -- evaluator: separate rollouts without exploration noise, reporting
+    # the epoch test/success_rate (her/rollout.py evaluator settings +
+    # her/her.py:49-60).  Host mode keeps a dedicated env pool whose stream
+    # is carried across epochs; the pure-JAX path resets fresh episodes.
+    if host_mode:
+        def eval_fn(aparams, o_rms, g_rms, key, env_state, obs):
+            (key, env_state, obs), tr = _episode_scan(
+                key, env_state, obs, aparams, o_rms, g_rms, False,
+                env_step=eval_venv.step,
+            )
+            return tr["success"][-1].astype(jnp.float32).mean(), env_state, obs
+
+        eval_jit = jax.jit(eval_fn)
+        _obs0, _es0 = eval_venv.reset(jax.random.fold_in(key, 424242))
+        eval_carry = (_es0, _obs0)
+
+        def run_eval(state, ekey):
+            nonlocal eval_carry
+            total, rounds = 0.0, max(1, -(-n_test_rollouts // num_envs))
+            for r in range(rounds):
+                s, es, ob = eval_jit(
+                    state.actor_params, state.o_rms, state.g_rms,
+                    jax.random.fold_in(ekey, r), *eval_carry,
+                )
+                eval_carry = (es, ob)
+                total += float(s)
+            return total / rounds
+    else:
+        def eval_fn(aparams, o_rms, g_rms, key):
+            kreset, kscan = jax.random.split(key)
+            obs, env_state = reset_v(jax.random.split(kreset, num_envs))
+            (_, _, _), tr = _episode_scan(
+                kscan, env_state, obs, aparams, o_rms, g_rms, False
+            )
+            return tr["success"][-1].astype(jnp.float32).mean()
+
+        eval_jit = jax.jit(eval_fn)
+
+        def run_eval(state, ekey):
+            rounds = max(1, -(-n_test_rollouts // num_envs))
+            return sum(
+                float(eval_jit(state.actor_params, state.o_rms, state.g_rms,
+                               jax.random.fold_in(ekey, r)))
+                for r in range(rounds)
+            ) / rounds
 
     class HERPolicy:
         is_recurrent = False
@@ -349,26 +515,62 @@ def learn(
                 "g_rms": self.state.g_rms,
             }
 
+        def _set_params(self, params):
+            self.state = self.state.replace(
+                actor_params=params["actor"],
+                o_rms=params["o_rms"],
+                g_rms=params["g_rms"],
+            )
+
     model = HERModel(HERPolicy(), state)
     if load_path is not None:
-        model.load_full(load_path)
+        model.load(load_path)  # --save_path payload (actor + normalizers)
         state = model.state
 
     steps_per_epoch = n_cycles * num_envs * T
     n_epochs = max(total_timesteps // steps_per_epoch, 1) if total_timesteps > 0 else 0
+
+    # resolved-parameter dump (her/experiment/config.py log_params +
+    # her/her.py:126): everything a rerun needs, as params.json in the logdir
+    if logger.get_dir():
+        import json
+        import os.path as osp
+
+        params = dict(
+            env_id=env_id, network=network, T=T, num_envs=num_envs,
+            replay_k=replay_k, n_cycles=n_cycles, n_batches=n_batches,
+            n_test_rollouts=n_test_rollouts, batch_size=batch_size,
+            buffer_size_episodes=buffer_size_episodes, polyak=polyak,
+            gamma=gamma, q_lr=q_lr, pi_lr=pi_lr, action_l2=action_l2,
+            noise_eps=noise_eps, random_eps=random_eps, norm_clip=norm_clip,
+            bc_loss=bc_loss, q_filter=q_filter,
+            demo_batch_size=demo_batch_size, prm_loss_weight=prm_loss_weight,
+            aux_loss_weight=aux_loss_weight, num_hidden=num_hidden,
+            num_layers=num_layers, seed=seed, total_timesteps=total_timesteps,
+            n_epochs=n_epochs,
+        )
+        with open(osp.join(logger.get_dir(), "params.json"), "w") as f:
+            json.dump(params, f, indent=2, sort_keys=True)
+
+    eval_key = jax.random.fold_in(seed_key(seed), 999)
     tstart = time.time()
     for epoch in range(n_epochs):
         for _ in range(n_cycles):
             state = cycle(state)
+        test_success = run_eval(state, jax.random.fold_in(eval_key, epoch))
         if log_interval and epoch % log_interval == 0:
             logger.logkv("epoch", epoch)
             logger.logkv("train/episode", int(state.n_episodes))
             logger.logkv("train/success_rate", float(state.success_rate))
+            logger.logkv("test/success_rate", test_success)
             logger.logkv("total/steps", (epoch + 1) * steps_per_epoch)
             logger.logkv(
                 "steps_per_second",
                 int((epoch + 1) * steps_per_epoch / (time.time() - tstart)),
             )
             logger.dumpkvs()
+    if host_mode:
+        train_venv.close()
+        eval_venv.close()
     model.state = state
     return model

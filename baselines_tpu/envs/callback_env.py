@@ -23,47 +23,78 @@ import numpy as np
 from baselines_tpu.envs.gym_bridge import HostVecEnv
 
 
+def _downcast_space(space):
+    """jax default is 32-bit; downcast 64-bit host obs (mujoco float64)."""
+    from baselines_tpu.envs.spaces import Box, DictSpace
+
+    if isinstance(space, DictSpace):
+        return DictSpace({k: _downcast_space(s) for k, s in space.spaces.items()})
+    if space.shape is not None and np.dtype(space.dtype).itemsize == 8:
+        return Box(
+            space.low.astype(np.float32),
+            space.high.astype(np.float32),
+            space.shape,
+            np.float32,
+        )
+    return space
+
+
 class CallbackVecEnv:
-    def __init__(self, host_env: HostVecEnv):
+    def __init__(self, host_env: HostVecEnv, info_keys: tuple = ()):
+        """info_keys: per-env scalar info fields (e.g. 'is_success' on goal
+        envs) surfaced as float32 arrays in the traced step info dict."""
+        from baselines_tpu.envs.spaces import DictSpace
+
         self.host = host_env
         self.num_envs = host_env.num_envs
-        self.observation_space = host_env.observation_space
-        # jax default is 32-bit; downcast 64-bit host obs (mujoco float64)
-        if np.dtype(self.observation_space.dtype).itemsize == 8:
-            from baselines_tpu.envs.spaces import Box
-
-            self.observation_space = Box(
-                self.observation_space.low.astype(np.float32),
-                self.observation_space.high.astype(np.float32),
-                self.observation_space.shape,
-                np.float32,
-            )
+        self.observation_space = _downcast_space(host_env.observation_space)
         self.action_space = host_env.action_space
-        self._obs_sds = jax.ShapeDtypeStruct(
-            (self.num_envs,) + self.observation_space.shape,
-            self.observation_space.dtype,
-        )
+        self.info_keys = tuple(info_keys)
+        n = self.num_envs
+        if isinstance(self.observation_space, DictSpace):
+            self._obs_sds = {
+                k: jax.ShapeDtypeStruct((n,) + s.shape, s.dtype)
+                for k, s in self.observation_space.spaces.items()
+            }
+        else:
+            self._obs_sds = jax.ShapeDtypeStruct(
+                (n,) + self.observation_space.shape, self.observation_space.dtype
+            )
         # host-side episode stats mirror (reward clip/scale-free)
         self._last_infos = []
+
+    def _cast_obs(self, obs):
+        return jax.tree_util.tree_map(
+            lambda sds, o: np.asarray(o, sds.dtype), self._obs_sds, obs
+        )
 
     # -- host-side impls ---------------------------------------------------
     def _host_reset(self, seed):
         obs = self.host.reset(int(np.asarray(seed)))
-        return np.asarray(obs, self.observation_space.dtype)
+        return self._cast_obs(obs)
 
     def _format_results(self, results):
         obs, rew, done, infos = results
-        terminal_obs = np.array(obs)
+        terminal_obs = jax.tree_util.tree_map(np.array, obs)
         for i, info in enumerate(infos):
             if "terminal_observation" in info:
-                terminal_obs[i] = info["terminal_observation"]
+                tobs = info["terminal_observation"]
+                if isinstance(terminal_obs, dict):
+                    for k in terminal_obs:
+                        terminal_obs[k][i] = tobs[k]
+                else:
+                    terminal_obs[i] = tobs
         self._last_infos = infos
+        extra = tuple(
+            np.asarray([float(info.get(k, 0.0)) for info in infos], np.float32)
+            for k in self.info_keys
+        )
         return (
-            np.asarray(obs, self.observation_space.dtype),
+            self._cast_obs(obs),
             np.asarray(rew, np.float32),
             np.asarray(done, bool),
-            terminal_obs.astype(self.observation_space.dtype),
-        )
+            self._cast_obs(terminal_obs),
+        ) + extra
 
     def _host_step(self, actions):
         return self._format_results(self.host.step(np.asarray(actions)))
@@ -86,6 +117,9 @@ class CallbackVecEnv:
             jax.ShapeDtypeStruct((self.num_envs,), jnp.float32),
             jax.ShapeDtypeStruct((self.num_envs,), jnp.bool_),
             self._obs_sds,
+        ) + tuple(
+            jax.ShapeDtypeStruct((self.num_envs,), jnp.float32)
+            for _ in self.info_keys
         )
 
     # -- functional interface ---------------------------------------------
@@ -97,10 +131,12 @@ class CallbackVecEnv:
         return obs, jnp.zeros((), jnp.int32)
 
     def step(self, key, state, actions):
-        obs, rew, done, terminal_obs = jax.experimental.io_callback(
+        obs, rew, done, terminal_obs, *extra = jax.experimental.io_callback(
             self._host_step, self.step_result_sds, actions, ordered=True
         )
-        return obs, state + 1, rew, done, {"terminal_obs": terminal_obs}
+        info = {"terminal_obs": terminal_obs}
+        info.update(zip(self.info_keys, extra))
+        return obs, state + 1, rew, done, info
 
     def close(self):
         self.host.close()

@@ -39,7 +39,19 @@ def convert_space(space):
         return JDiscrete(int(space.n))
     if isinstance(space, gym.spaces.Box):
         return JBox(space.low, space.high, space.shape, space.dtype)
+    if isinstance(space, gym.spaces.Dict):
+        from baselines_tpu.envs.spaces import DictSpace
+
+        return DictSpace({k: convert_space(s) for k, s in space.spaces.items()})
     raise NotImplementedError(f"unsupported host space {space}")
+
+
+def stack_obs(obs_list):
+    """Stack a list of per-env observations, dict-aware (the vec_env
+    util.py:11-62 dict-obs handling analog)."""
+    if isinstance(obs_list[0], dict):
+        return {k: np.stack([o[k] for o in obs_list]) for k in obs_list[0]}
+    return np.stack(obs_list)
 
 
 class GymAdapter:
@@ -128,7 +140,7 @@ class HostDummyVecEnv(HostVecEnv):
         self.action_space = self.envs[0].action_space
 
     def reset(self, seed=None):
-        return np.stack(
+        return stack_obs(
             [e.reset(None if seed is None else seed + i) for i, e in enumerate(self.envs)]
         )
 
@@ -141,7 +153,7 @@ class HostDummyVecEnv(HostVecEnv):
             dones.append(d)
             infos.append(i)
         return (
-            np.stack(obs),
+            stack_obs(obs),
             np.asarray(rews, np.float32),
             np.asarray(dones, bool),
             infos,
@@ -237,7 +249,7 @@ class HostSubprocVecEnv(HostVecEnv):
         for i, remote in enumerate(self.remotes):
             remote.send(("reset", None if seed is None else seed + i * self.in_series))
         obs = [o for remote in self.remotes for o in remote.recv()]
-        return np.stack(obs)
+        return stack_obs(obs)
 
     def step_async(self, actions):
         """Dispatch to workers and return immediately — the envs step while
@@ -251,7 +263,7 @@ class HostSubprocVecEnv(HostVecEnv):
         results = [r for remote in self.remotes for r in remote.recv()]
         obs, rews, dones, infos = zip(*results)
         return (
-            np.stack(obs),
+            stack_obs(list(obs)),
             np.asarray(rews, np.float32),
             np.asarray(dones, bool),
             list(infos),
@@ -291,6 +303,10 @@ class HostShmemVecEnv(HostSubprocVecEnv):
         probe = GymAdapter(env_fns[0]())
         obs_space = probe.observation_space
         probe.close()
+        assert obs_space.shape is not None, (
+            "HostShmemVecEnv transports a single flat array; use "
+            "HostDummyVecEnv/HostSubprocVecEnv for dict observations"
+        )
         self._obs_shape = obs_space.shape
         self._obs_dtype = obs_space.dtype
         ctx = mp.get_context(context)

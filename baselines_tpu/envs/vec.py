@@ -282,6 +282,64 @@ class VecFrameStack(VecWrapper):
         return frames, FrameStackState(inner, frames), rew, done, info
 
 
+class VecExtractDictObs(VecWrapper):
+    """Project Dict observations to one key
+    (vec_env/vec_remove_dict_obs.py:3-10)."""
+
+    def __init__(self, venv, key: str):
+        super().__init__(venv)
+        self.key = key
+        self.observation_space = venv.observation_space[key]
+
+    def _proj(self, obs):
+        return obs[self.key]
+
+    def reset(self, key):
+        obs, state = self.venv.reset(key)
+        return self._proj(obs), state
+
+    def post(self, state, obs, inner, rew, done, info):
+        if "terminal_obs" in info:
+            info = dict(info, terminal_obs=self._proj(info["terminal_obs"]))
+        return self._proj(obs), inner, rew, done, info
+
+
+class VecFlattenDictObs(VecWrapper):
+    """Concatenate selected Dict-obs keys into one flat Box — the
+    make_robotics_env FlattenDictWrapper(['observation', 'desired_goal'])
+    contract (cmd_util.py:124-135) that lets non-goal algorithms train on
+    goal envs."""
+
+    def __init__(self, venv, keys=("observation", "desired_goal")):
+        import numpy as np
+
+        from baselines_tpu.envs.spaces import Box
+
+        super().__init__(venv)
+        self.keys = tuple(keys)
+        spaces = [venv.observation_space[k] for k in self.keys]
+        assert all(len(s.shape) == 1 for s in spaces), "flatten needs 1-D parts"
+        dim = sum(s.shape[0] for s in spaces)
+        self.observation_space = Box(
+            np.full((dim,), -np.inf, np.float32),
+            np.full((dim,), np.inf, np.float32),
+            (dim,),
+            np.float32,
+        )
+
+    def _flat(self, obs):
+        return jnp.concatenate([obs[k] for k in self.keys], axis=-1)
+
+    def reset(self, key):
+        obs, state = self.venv.reset(key)
+        return self._flat(obs), state
+
+    def post(self, state, obs, inner, rew, done, info):
+        if "terminal_obs" in info:
+            info = dict(info, terminal_obs=self._flat(info["terminal_obs"]))
+        return self._flat(obs), inner, rew, done, info
+
+
 class VecRewardScale(VecWrapper):
     """reward *= scale at the vector level — the --reward_scale flag
     (cmd_util.py:43, applied per-env in make_env via RewardScaler,

@@ -94,6 +94,7 @@ def main(argv=None):
             args.env,
             num_envs=1,
             frame_stack=int(extra_args.get("frame_stack", 0) or 0),
+            keep_dict_obs=args.alg == "her",  # goal policies consume dict obs
         )
         ret, length, episodes = evaluate(
             model, venv, jax.random.PRNGKey(0), nsteps=2000, deterministic=True
