@@ -70,7 +70,10 @@ from baselines_tpu.envs.testing.identity import (
     ImageIdentityEnv,
     MultiDiscreteIdentityEnv,
 )
-from baselines_tpu.envs.testing.fixed_sequence import FixedSequenceEnv
+from baselines_tpu.envs.testing.fixed_sequence import (
+    FixedSequenceEnv,
+    ImageFixedSequenceEnv,
+)
 
 register_env("CartPole-v0")(lambda: make_cartpole(0))
 register_env("CartPole-v1")(lambda: make_cartpole(1))
@@ -86,6 +89,9 @@ register_env("MultiDiscreteIdentity-v0", "testing")(
 )
 register_env("ImageIdentity-v0", "testing")(lambda: ImageIdentityEnv())
 register_env("FixedSequence-v0", "testing")(lambda: FixedSequenceEnv())
+# seed=3 draws an all-distinct action sequence, so the best memoryless
+# policy scores 1 of 4 and only recurrent policies can reach 4 of 4
+register_env("ImageFixedSequence-v0", "testing")(lambda: ImageFixedSequenceEnv(seed=3))
 
 from baselines_tpu.envs.testing.atari_sim import AtariSim
 
