@@ -6,9 +6,9 @@ from importlib import import_module
 _ALGOS = {
     "ppo2": "baselines_tpu.algos.ppo.ppo",
     "ppo": "baselines_tpu.algos.ppo.ppo",
-    # ppo1 is the reference's obsolete first-gen PPO (baselines/ppo1);
-    # ppo2 supersedes it with the same objective — alias for CLI parity
-    "ppo1": "baselines_tpu.algos.ppo.ppo",
+    # first-gen PPO with pposgd_simple's update semantics (batch-level
+    # advantage standardization, unclipped value MSE, lrmult-annealed clip)
+    "ppo1": "baselines_tpu.algos.ppo1.ppo1",
     "deepq": "baselines_tpu.algos.dqn.dqn",
     "dqn": "baselines_tpu.algos.dqn.dqn",
     "a2c": "baselines_tpu.algos.a2c.a2c",

@@ -59,7 +59,7 @@ def _flat01(x):
     return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
 
-def make_ppo_loss(policy, ent_coef, vf_coef):
+def make_ppo_loss(policy, ent_coef, vf_coef, clip_value=True):
     def loss_fn(params, batch, advs, cliprange, rnn_init=None):
         """batch leaves are flat (B, ...) for feedforward; time-major
         (T, B, ...) plus rnn_init (B, h) for recurrent policies.  `advs` are
@@ -91,10 +91,15 @@ def make_ppo_loss(policy, ent_coef, vf_coef):
         neglogpac = pd.neglogp(actions)
         entropy = jnp.mean(pd.entropy())
 
-        vpredclipped = old_values + jnp.clip(vpred - old_values, -cliprange, cliprange)
         vf_losses1 = jnp.square(vpred - returns)
-        vf_losses2 = jnp.square(vpredclipped - returns)
-        vf_loss = 0.5 * jnp.mean(jnp.maximum(vf_losses1, vf_losses2))
+        if clip_value:
+            vpredclipped = old_values + jnp.clip(vpred - old_values, -cliprange, cliprange)
+            vf_losses2 = jnp.square(vpredclipped - returns)
+            vf_loss = 0.5 * jnp.mean(jnp.maximum(vf_losses1, vf_losses2))
+        else:
+            # ppo1 uses a plain value MSE (pposgd_simple.py loss list — no
+            # value clipping existed in first-gen PPO)
+            vf_loss = 0.5 * jnp.mean(vf_losses1)
 
         ratio = jnp.exp(old_neglogps - neglogpac)
         pg_losses = -advs * ratio
@@ -138,9 +143,16 @@ def make_update_fn(
     nupdates,
     microbatch_size=None,
     pipelined=False,
+    adv_norm="minibatch",
+    clip_value=True,
 ):
+    """adv_norm: 'minibatch' standardizes advantages per minibatch
+    (ppo2/model.py:136-139); 'batch' standardizes once over the whole actor
+    batch before the epochs (ppo1/pposgd_simple.py semantics).  clip_value
+    selects ppo2's clipped value loss vs ppo1's plain MSE."""
     nenvs = venv.num_envs
-    loss_fn = make_ppo_loss(policy, ent_coef, vf_coef)
+    assert adv_norm in ("minibatch", "batch"), adv_norm
+    loss_fn = make_ppo_loss(policy, ent_coef, vf_coef, clip_value=clip_value)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     recurrent = policy.is_recurrent
     if pipelined:
@@ -151,11 +163,13 @@ def make_update_fn(
         )
         assert microbatch_size is None, "microbatching + recurrence unsupported"
 
-    def minibatch_grads(params, mb_batch, cliprange, mb_rnn):
+    def minibatch_grads(params, mb_batch, mb_advs, cliprange, mb_rnn):
         """Gradient of one minibatch, optionally accumulated over
-        microbatches (MicrobatchedModel, ppo2/microbatched_model.py:35-75)."""
+        microbatches (MicrobatchedModel, ppo2/microbatched_model.py:35-75).
+        mb_advs is None for per-minibatch normalization, or the slice of the
+        batch-normalized advantages (adv_norm='batch')."""
         _, _, mb_returns, mb_values, _, _ = mb_batch
-        advs = _normalize_advs(mb_returns, mb_values)
+        advs = _normalize_advs(mb_returns, mb_values) if mb_advs is None else mb_advs
         if microbatch_size is None:
             (_, metrics), grads = grad_fn(params, mb_batch, advs, cliprange, mb_rnn)
             return grads, metrics
@@ -202,14 +216,17 @@ def make_update_fn(
         advs, returns = gae(traj.rewards, traj.values, traj.dones, last_value, gamma, lam)
 
         batch_t = (traj.obs, traj.actions, returns, traj.values, traj.neglogps, traj.rnn_masks)
+        # adv_norm='batch': standardize once over the whole actor batch
+        # (pposgd_simple atarg standardization) and slice alongside the batch
+        batch_advs_t = _normalize_advs(returns, traj.values) if adv_norm == "batch" else None
 
         if recurrent:
             envs_per_mb = nenvs // nminibatches
 
             def mb_step(carry, mb):
                 params, opt_state = carry
-                mb_batch, mb_rnn = mb
-                grads, metrics = minibatch_grads(params, mb_batch, cliprange, mb_rnn)
+                mb_batch, mb_advs, mb_rnn = mb
+                grads, metrics = minibatch_grads(params, mb_batch, mb_advs, cliprange, mb_rnn)
                 params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
                 return (params, opt_state), metrics
 
@@ -218,7 +235,8 @@ def make_update_fn(
 
                 def mb_of(eidx):
                     mb_batch = jax.tree_util.tree_map(lambda x: x[:, eidx], batch_t)
-                    return mb_batch, rollout_init_rnn[eidx]
+                    mb_advs = None if batch_advs_t is None else batch_advs_t[:, eidx]
+                    return mb_batch, mb_advs, rollout_init_rnn[eidx]
 
                 mbs = jax.vmap(mb_of)(perm)  # leading axis nminibatches
                 return jax.lax.scan(mb_step, carry, mbs)
@@ -227,20 +245,21 @@ def make_update_fn(
             nbatch = nenvs * nsteps
             nbatch_train = nbatch // nminibatches
             batch_flat = jax.tree_util.tree_map(_flat01, batch_t)
+            batch_advs = None if batch_advs_t is None else _flat01(batch_advs_t)
 
-            def mb_step(carry, mb_batch):
+            def mb_step(carry, mb):
                 params, opt_state = carry
-                grads, metrics = minibatch_grads(params, mb_batch, cliprange, None)
+                mb_batch, mb_advs = mb
+                grads, metrics = minibatch_grads(params, mb_batch, mb_advs, cliprange, None)
                 params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
                 return (params, opt_state), metrics
 
             def epoch_step(carry, ekey):
                 perm = jax.random.permutation(ekey, nbatch)
-                mbs = jax.tree_util.tree_map(
-                    lambda x: x[perm].reshape((nminibatches, nbatch_train) + x.shape[1:]),
-                    batch_flat,
-                )
-                return jax.lax.scan(mb_step, carry, mbs)
+                slice_mb = lambda x: x[perm].reshape((nminibatches, nbatch_train) + x.shape[1:])
+                mbs = jax.tree_util.tree_map(slice_mb, batch_flat)
+                advs_mbs = None if batch_advs is None else slice_mb(batch_advs)
+                return jax.lax.scan(mb_step, carry, (mbs, advs_mbs))
 
         key, ekeys = key, jax.random.split(key, noptepochs + 1)
         key, ekeys = ekeys[0], ekeys[1:]
@@ -293,6 +312,9 @@ def learn(
     microbatch_size: int | None = None,
     pipeline: bool | None = None,
     mesh=None,
+    adv_norm: str = "minibatch",
+    clip_value: bool = True,
+    adam_epsilon: float = 1e-5,
     **network_kwargs,
 ) -> Model:
     """Uniform learn contract (ppo2/ppo2.py:21-218 signature analog).
@@ -345,7 +367,7 @@ def learn(
     else:
         obs, env_state = venv.reset(kreset)
         params = policy.init(kinit, obs)
-    tx = adam_optimizer(max_grad_norm)
+    tx = adam_optimizer(max_grad_norm, eps=adam_epsilon)
     opt_state = tx.init(params)
 
     from baselines_tpu.algos.common import dealias
@@ -385,6 +407,8 @@ def learn(
             nupdates=nupdates,
             microbatch_size=microbatch_size,
             pipelined=pipeline,
+            adv_norm=adv_norm,
+            clip_value=clip_value,
         ),
         donate_argnums=0,
     )

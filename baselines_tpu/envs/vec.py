@@ -160,12 +160,26 @@ class VecJaxEnv:
         kstep, kreset = jax.random.split(key)
         step_keys = jax.random.split(kstep, self.num_envs)
         obs, st, rew, done, info = self._vstep(step_keys, state, actions)
-        reset_keys = jax.random.split(kreset, self.num_envs)
-        robs, rst = self._vreset(reset_keys)
         info = dict(info)
         info["terminal_obs"] = obs
-        new_obs = _where_done(done, robs, obs)
-        new_state = jax.tree_util.tree_map(partial(_where_done, done), rst, st)
+
+        # auto-reset (subproc_vec_env.py:8-12 semantics), gated on any(done):
+        # dones are rare within an episode, so computing the batched reset
+        # unconditionally wastes roughly an env-step of work per step — the
+        # cond is a real branch at the top jit level (it only degrades to a
+        # computed select under vmap).  reset_keys derive from kreset either
+        # way, so gating is bit-exact with the ungated version.
+        def _do_reset(args):
+            obs, st = args
+            reset_keys = jax.random.split(kreset, self.num_envs)
+            robs, rst = self._vreset(reset_keys)
+            new_obs = _where_done(done, robs, obs)
+            new_state = jax.tree_util.tree_map(partial(_where_done, done), rst, st)
+            return new_obs, new_state
+
+        new_obs, new_state = jax.lax.cond(
+            jnp.any(done), _do_reset, lambda args: args, (obs, st)
+        )
         return new_obs, new_state, rew.astype(jnp.float32), done, info
 
 

@@ -37,7 +37,10 @@ def register(name):
 
 def get_network(name: str, **kwargs):
     """models.get_network_builder analog (models.py:257-275); also accepts a
-    ready-made module or factory."""
+    ready-made module or factory.  ``dtype`` may be a string (e.g. the CLI's
+    --dtype=bfloat16) and is canonicalized here."""
+    if isinstance(kwargs.get("dtype"), str):
+        kwargs["dtype"] = jnp.dtype(kwargs["dtype"])
     if callable(name):
         return name(**kwargs) if not isinstance(name, nn.Module) else name
     return _NETWORKS.get(name)(**kwargs)
@@ -56,40 +59,48 @@ def _to_float(x):
 
 @register("mlp")
 class MLP(nn.Module):
-    """Stack of fully-connected layers (models.py:74-103)."""
+    """Stack of fully-connected layers (models.py:74-103).
+
+    ``dtype`` is the compute dtype (mixed precision): parameters stay f32,
+    matmuls run in ``dtype`` (bf16 feeds the MXU at 2x f32 throughput), and
+    the returned latent is cast back to f32 so the distribution/value heads
+    and the loss are always full precision."""
 
     num_layers: int = 2
     num_hidden: int = 64
     activation: Callable = jnp.tanh
     layer_norm: bool = False
+    dtype: Any = jnp.float32
 
     is_recurrent = False
 
     @nn.compact
     def __call__(self, x):
-        h = _to_float(x).reshape((x.shape[0], -1))
+        h = _to_float(x).reshape((x.shape[0], -1)).astype(self.dtype)
         for i in range(self.num_layers):
-            h = nn.Dense(self.num_hidden, kernel_init=ortho(np.sqrt(2)), name=f"mlp_fc{i}")(h)
+            h = nn.Dense(self.num_hidden, dtype=self.dtype, kernel_init=ortho(np.sqrt(2)), name=f"mlp_fc{i}")(h)
             if self.layer_norm:
-                h = nn.LayerNorm()(h)
+                h = nn.LayerNorm(dtype=self.dtype)(h)
             h = self.activation(h)
-        return h
+        return h.astype(jnp.float32)
 
 
 @register("cnn")
 class NatureCNN(nn.Module):
-    """The Nature DQN convnet (models.py:15-26)."""
+    """The Nature DQN convnet (models.py:15-26).  ``dtype``: see MLP."""
+
+    dtype: Any = jnp.float32
 
     is_recurrent = False
 
     @nn.compact
     def __call__(self, x):
-        h = _to_float(x)
-        h = nn.relu(nn.Conv(32, (8, 8), (4, 4), padding="VALID", kernel_init=ortho(np.sqrt(2)), name="c1")(h))
-        h = nn.relu(nn.Conv(64, (4, 4), (2, 2), padding="VALID", kernel_init=ortho(np.sqrt(2)), name="c2")(h))
-        h = nn.relu(nn.Conv(64, (3, 3), (1, 1), padding="VALID", kernel_init=ortho(np.sqrt(2)), name="c3")(h))
+        h = _to_float(x).astype(self.dtype)
+        h = nn.relu(nn.Conv(32, (8, 8), (4, 4), padding="VALID", dtype=self.dtype, kernel_init=ortho(np.sqrt(2)), name="c1")(h))
+        h = nn.relu(nn.Conv(64, (4, 4), (2, 2), padding="VALID", dtype=self.dtype, kernel_init=ortho(np.sqrt(2)), name="c2")(h))
+        h = nn.relu(nn.Conv(64, (3, 3), (1, 1), padding="VALID", dtype=self.dtype, kernel_init=ortho(np.sqrt(2)), name="c3")(h))
         h = h.reshape((h.shape[0], -1))
-        return nn.relu(nn.Dense(512, kernel_init=ortho(np.sqrt(2)), name="fc1")(h))
+        return nn.relu(nn.Dense(512, dtype=self.dtype, kernel_init=ortho(np.sqrt(2)), name="fc1")(h)).astype(jnp.float32)
 
 
 @register("cnn_small")
@@ -98,65 +109,71 @@ class CNNSmall(nn.Module):
 
     is_recurrent = False
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        h = _to_float(x)
-        h = nn.relu(nn.Conv(8, (8, 8), (4, 4), padding="VALID", kernel_init=ortho(np.sqrt(2)))(h))
-        h = nn.relu(nn.Conv(16, (4, 4), (2, 2), padding="VALID", kernel_init=ortho(np.sqrt(2)))(h))
+        h = _to_float(x).astype(self.dtype)
+        h = nn.relu(nn.Conv(8, (8, 8), (4, 4), padding="VALID", dtype=self.dtype, kernel_init=ortho(np.sqrt(2)))(h))
+        h = nn.relu(nn.Conv(16, (4, 4), (2, 2), padding="VALID", dtype=self.dtype, kernel_init=ortho(np.sqrt(2)))(h))
         h = h.reshape((h.shape[0], -1))
-        return nn.relu(nn.Dense(128, kernel_init=ortho(np.sqrt(2)))(h))
+        return nn.relu(nn.Dense(128, dtype=self.dtype, kernel_init=ortho(np.sqrt(2)))(h)).astype(jnp.float32)
 
 
 class _ImpalaResBlock(nn.Module):
     depth: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.relu(x)
-        h = nn.Conv(self.depth, (3, 3), padding="SAME")(h)
+        h = nn.Conv(self.depth, (3, 3), padding="SAME", dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.depth, (3, 3), padding="SAME")(h)
+        h = nn.Conv(self.depth, (3, 3), padding="SAME", dtype=self.dtype)(h)
         return h + x
 
 
 @register("impala_cnn")
 class ImpalaCNN(nn.Module):
-    """IMPALA deep residual convnet (models.py:28-71)."""
+    """IMPALA deep residual convnet (models.py:28-71).  ``dtype``: see MLP."""
 
     depths: Sequence[int] = (16, 32, 32)
+    dtype: Any = jnp.float32
 
     is_recurrent = False
 
     @nn.compact
     def __call__(self, x):
-        h = _to_float(x)
+        h = _to_float(x).astype(self.dtype)
         for depth in self.depths:
-            h = nn.Conv(depth, (3, 3), padding="SAME")(h)
+            h = nn.Conv(depth, (3, 3), padding="SAME", dtype=self.dtype)(h)
             h = nn.max_pool(h, (3, 3), strides=(2, 2), padding="SAME")
-            h = _ImpalaResBlock(depth)(h)
-            h = _ImpalaResBlock(depth)(h)
+            h = _ImpalaResBlock(depth, dtype=self.dtype)(h)
+            h = _ImpalaResBlock(depth, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = h.reshape((h.shape[0], -1))
-        return nn.relu(nn.Dense(256)(h))
+        return nn.relu(nn.Dense(256, dtype=self.dtype)(h)).astype(jnp.float32)
 
 
 @register("conv_only")
 class ConvOnly(nn.Module):
     """Conv stack without a dense head (models.py:221-249); used by deepq
-    with its own hiddens on top."""
+    with its own hiddens on top.  ``dtype``: see MLP (output latent stays
+    f32 for the downstream q-head)."""
 
     convs: Sequence[tuple] = ((32, 8, 4), (64, 4, 2), (64, 3, 1))
+    dtype: Any = jnp.float32
 
     is_recurrent = False
 
     @nn.compact
     def __call__(self, x):
-        h = _to_float(x)
+        h = _to_float(x).astype(self.dtype)
         for num_outputs, kernel, stride in self.convs:
             h = nn.relu(
-                nn.Conv(num_outputs, (kernel, kernel), (stride, stride), padding="VALID")(h)
+                nn.Conv(num_outputs, (kernel, kernel), (stride, stride), padding="VALID", dtype=self.dtype)(h)
             )
-        return h
+        return h.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -230,14 +247,14 @@ def lnlstm(nlstm: int = 128):
 @register("cnn_lstm")
 def cnn_lstm(nlstm: int = 128, layer_norm: bool = False, **conv_kwargs):
     """models.py:186-210."""
-    return RecurrentNetwork(encoder=NatureCNN(), nlstm=nlstm, layer_norm=layer_norm)
+    return RecurrentNetwork(encoder=NatureCNN(**conv_kwargs), nlstm=nlstm, layer_norm=layer_norm)
 
 
 @register("cnn_lnlstm")
 def cnn_lnlstm(nlstm: int = 128, **conv_kwargs):
-    return RecurrentNetwork(encoder=NatureCNN(), nlstm=nlstm, layer_norm=True)
+    return RecurrentNetwork(encoder=NatureCNN(**conv_kwargs), nlstm=nlstm, layer_norm=True)
 
 
 @register("impala_cnn_lstm")
 def impala_cnn_lstm(nlstm: int = 256, **kwargs):
-    return RecurrentNetwork(encoder=ImpalaCNN(), nlstm=nlstm)
+    return RecurrentNetwork(encoder=ImpalaCNN(**kwargs), nlstm=nlstm)

@@ -194,11 +194,14 @@ def main():
     logger.configure(format_strs=[])
     dev = jax.devices()[0]
 
-    # primary: Atari-scale CNN pipeline
-    # num_envs=32 keeps compile time bounded through the remote-compile
-    # relay; 64 envs measures ~77k steps/s but compiles for ~5 minutes
+    # primary: Atari-scale CNN pipeline at 64 envs (throughput saturates
+    # there: 128 envs measures the same ~steps/s).  Compile time through the
+    # tunneled backend is service-variance-dominated (measured 33s-403s for
+    # the SAME graph across runs; the persistent cache does not key stably
+    # across processes on this backend), so a small-envs config would not
+    # bound it anyway — report the saturated-throughput config.
     update_fn, state, nbatch, _ = build_ppo_update(
-        "AtariSim-v0", num_envs=32, nsteps=128, network="cnn",
+        "AtariSim-v0", num_envs=64, nsteps=128, network="cnn",
         nminibatches=4, noptepochs=4,
     )
     cnn_fps, dt = time_updates(update_fn, state, nbatch, iters=10)
