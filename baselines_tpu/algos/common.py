@@ -348,6 +348,22 @@ def apply_updates_lr(tx, params, opt_state, grads, lr):
     return params, opt_state
 
 
+def jit_init(make_state, *args):
+    """Build an initial train state in ONE compiled program.
+
+    Eager state construction dispatches each distinct op (ortho-init QR per
+    layer, env reset, optimizer zeros) as its own mini-compile; on a
+    high-latency tunneled TPU backend that costs minutes (measured: 73s
+    eager vs 13s single-jit for the 64-env nature-CNN PPO state).  Falls
+    back to eager construction when the closure is untraceable (e.g. a
+    host video-recorder reset)."""
+    try:
+        made = jax.jit(make_state)(*args)
+    except Exception:
+        made = make_state(*args)
+    return dealias(made)
+
+
 def dealias(tree):
     """Force every leaf to own its buffer.  Some envs return an obs array
     that IS a state field (e.g. identity envs), and donating a train state

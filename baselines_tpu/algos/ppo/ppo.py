@@ -355,35 +355,48 @@ def learn(
         **network_kwargs,
     )
 
-    key = seed_key(seed)
-    key, kreset, kinit = jax.random.split(key, 3)
+    tx = adam_optimizer(max_grad_norm, eps=adam_epsilon)
+    from baselines_tpu.algos.common import dealias, jit_init
+
     if pipeline:
+        key = seed_key(seed)
+        key, kreset, kinit = jax.random.split(key, 3)
         kra, krb, kprime = jax.random.split(kreset, 3)
         reset_a = venv.a.reset(kra)
         reset_b = venv.b.reset(krb)
         obs = reset_a[0]
         params = policy.init(kinit, obs)
         env_state = init_pipe_state(policy, venv, params, kprime, reset_a, reset_b)
-    else:
-        obs, env_state = venv.reset(kreset)
-        params = policy.init(kinit, obs)
-    tx = adam_optimizer(max_grad_norm, eps=adam_epsilon)
-    opt_state = tx.init(params)
-
-    from baselines_tpu.algos.common import dealias
-
-    state = dealias(
-        PPOTrainState(
-            params=params,
-            opt_state=opt_state,
-            key=key,
-            env_state=env_state,
-            obs=obs,
-            rnn_state=policy.initial_state(nenvs),
-            last_done=jnp.zeros((nenvs,), bool),
-            update_idx=jnp.zeros((), jnp.int32),
+        state = dealias(
+            PPOTrainState(
+                params=params,
+                opt_state=tx.init(params),
+                key=key,
+                env_state=env_state,
+                obs=obs,
+                rnn_state=policy.initial_state(nenvs),
+                last_done=jnp.zeros((nenvs,), bool),
+                update_idx=jnp.zeros((), jnp.int32),
+            )
         )
-    )
+    else:
+
+        def make_state(key):
+            key, kreset, kinit = jax.random.split(key, 3)
+            obs, env_state = venv.reset(kreset)
+            params = policy.init(kinit, obs)
+            return PPOTrainState(
+                params=params,
+                opt_state=tx.init(params),
+                key=key,
+                env_state=env_state,
+                obs=obs,
+                rnn_state=policy.initial_state(nenvs),
+                last_done=jnp.zeros((nenvs,), bool),
+                update_idx=jnp.zeros((), jnp.int32),
+            )
+
+        state = jit_init(make_state, seed_key(seed))
 
     if mesh is not None:
         from baselines_tpu.distributed.mesh import shard_train_state
