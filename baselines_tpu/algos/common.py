@@ -40,8 +40,16 @@ def make_host_vec_env(env_id: str, num_envs: int, env_type: str,
     if env_type == "atari":
         from baselines_tpu.envs.atari import make_atari_vec_env
 
-        return make_atari_vec_env(env_id, num_envs)
+        return make_atari_vec_env(env_id, num_envs, need_render=need_render)
     if env_type == "retro":
+        if need_render:
+            # retro.make exposes no render surface compatible with the
+            # host-pool frame_fn; fail loudly instead of at the first
+            # video trigger (step 0)
+            raise ValueError(
+                "--save_video_interval is unsupported for retro envs; "
+                "remove the flag or record from a gymnasium env"
+            )
         from baselines_tpu.envs.retro_wrappers import make_retro_vec_env
 
         return make_retro_vec_env(env_id, num_envs, gamestate=gamestate)
@@ -86,6 +94,7 @@ def build_env(
     video_dir: str | None = None,
     gamestate=None,
     keep_dict_obs: bool = False,
+    s2d: int = 0,
 ):
     """Standard chain: base vec env → VecMonitor → [VecRewardScale] →
     [VecNormalize for continuous control] → [VecFrameStack] →
@@ -139,6 +148,12 @@ def build_env(
         venv = VecNormalize(venv, axis_name=axis_name)
     if frame_stack and frame_stack > 1:
         venv = VecFrameStack(venv, frame_stack)
+    if s2d:
+        # TPU lane-aligned obs packing (envs/vec.py VecS2D); sits after
+        # frame stacking so all stacked channels pack together
+        from baselines_tpu.envs.vec import VecS2D
+
+        venv = VecS2D(venv, s2d if s2d > 1 else 4)
     if save_video_interval:
         from baselines_tpu.core import logger
         from baselines_tpu.envs.video import VecVideoRecorder, jax_env_frame_fn
@@ -238,6 +253,27 @@ def init_pipe_state(policy, pair, params, key, reset_a, reset_b):
     assert not policy.is_recurrent, "pipelined rollouts support feedforward policies"
     obs_a, st_a = reset_a
     obs_b, st_b = reset_b
+    # VecNormalize: both groups must branch from a COMMON prior so the
+    # per-rollout merge_branched(prev, a, b) reconstruction is exact from
+    # the very first rollout (core/running_stats.py:84) — union the two
+    # reset contributions and seed both groups with it
+    from baselines_tpu.envs.vec import find_normalize_state, replace_normalize_stats
+
+    ns_a, ns_b = find_normalize_state(st_a), find_normalize_state(st_b)
+    if ns_a is not None and ns_b is not None:
+        from baselines_tpu.core.running_stats import RunningMeanStd, merge_branched
+
+        def union(a, b):
+            zero = RunningMeanStd(
+                mean=jnp.zeros_like(a.mean), var=jnp.zeros_like(a.var),
+                count=jnp.zeros_like(a.count),
+            )
+            return merge_branched(zero, a, b)
+
+        ob_rms = union(ns_a.ob_rms, ns_b.ob_rms)
+        ret_rms = union(ns_a.ret_rms, ns_b.ret_rms)
+        st_a = replace_normalize_stats(st_a, ob_rms, ret_rms)
+        st_b = replace_normalize_stats(st_b, ob_rms, ret_rms)
     n = pair.a.num_envs
     act_b, val_b, nlp_b, _ = policy.step(params, key, obs_b, None, None)
     pair.submit_b(act_b)

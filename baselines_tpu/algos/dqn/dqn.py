@@ -419,7 +419,6 @@ def learn(
     steps_per_chunk = chunk_size * nenvs
     nchunks = max(total_timesteps // steps_per_chunk, 1) if total_timesteps > 0 else 0
     tstart = time.time()
-    last_log_episodes = 0
     for chunk in range(1, nchunks + 1):
         state = update_fn(state)
         if latest_file is not None and checkpoint_freq:
@@ -443,17 +442,20 @@ def learn(
                     payload["best_mean_reward"] = mean100
                     ckpt.save_state(best_file, payload)
         if print_freq and chunk % max(1, (print_freq * 100) // steps_per_chunk) == 0:
+            # the dump cadence must depend only on deterministic loop state
+            # (chunk index): logger.dumpkvs is a collective under
+            # jax.distributed, so gating it on per-process episode counts
+            # would deadlock multi-host runs (each process must call it the
+            # same number of times)
             stats = VecMonitor.get_stats(state.env_state)
             episodes = int(stats.episodes)
-            if episodes > last_log_episodes:
-                last_log_episodes = episodes
-                logger.logkv("steps", int(state.t))
-                logger.logkv("episodes", episodes)
-                logger.logkv("mean 100 episode reward", float(stats.mean_return))
-                logger.logkv("% time spent exploring",
-                             int(100 * float(exploration.value(int(state.t)))))
-                logger.logkv("fps", int(int(state.t) / (time.time() - tstart)))
-                logger.dumpkvs()
+            logger.logkv("steps", int(state.t))
+            logger.logkv("episodes", episodes)
+            logger.logkv("mean 100 episode reward", float(stats.mean_return))
+            logger.logkv("% time spent exploring",
+                         int(100 * float(exploration.value(int(state.t)))))
+            logger.logkv("fps", int(int(state.t) / (time.time() - tstart)))
+            logger.dumpkvs()
     if best_file is not None and osp.exists(best_file):
         # return the BEST model seen, not the last (deepq.py:327-331)
         if print_freq is not None and best_mean_reward is not None:

@@ -327,6 +327,8 @@ def learn(
     from baselines_tpu.envs.registry import is_jax_env
 
     if pipeline is None:
+        # non-string networks (callables / modules) can't be sniffed for
+        # recurrence here; fall back to the fused rollout for them
         pipeline = (
             env is None
             and env_id is not None
@@ -334,6 +336,7 @@ def learn(
             and num_envs >= 2
             and num_envs % 2 == 0
             and mesh is None
+            and isinstance(network, str)
             and "lstm" not in network
         )
     if pipeline:

@@ -86,7 +86,10 @@ def merge_branched(prev: RunningMeanStd, a: RunningMeanStd, b: RunningMeanStd) -
     folded in DISJOINT data (the two env groups of a pipelined rollout,
     envs/host_pipeline.py).  Works in (count, sum, sumsq) space where the
     union is simply a + b - prev — the mpi Allreduce-of-moments analog
-    (mpi_running_mean_std.py:41-48) for in-process branches."""
+    (mpi_running_mean_std.py:41-48) for in-process branches.  The common
+    branch point is established at init: init_pipe_state seeds BOTH groups
+    with the union of their reset contributions (algos/common.py), so the
+    merge is exact from the first rollout onward."""
 
     def sums(r):
         s = r.mean * r.count

@@ -189,12 +189,16 @@ class ClipRewardEnv:
         return obs, float(np.sign(reward)), terminated, truncated, info
 
 
-def make_atari(env_id: str, max_episode_steps=None):
-    """make_atari (atari_wrappers.py:266-273)."""
+def make_atari(env_id: str, max_episode_steps=None, need_render: bool = False):
+    """make_atari (atari_wrappers.py:266-273).  ``need_render`` requests an
+    rgb_array render surface for VecVideoRecorder (--save_video_interval)."""
     gym = _gym()
     import ale_py  # noqa: F401  (registers ALE envs)
 
-    env = gym.make(env_id, frameskip=1, repeat_action_probability=0.0)
+    env = gym.make(
+        env_id, frameskip=1, repeat_action_probability=0.0,
+        render_mode="rgb_array" if need_render else None,
+    )
     env = NoopResetEnv(env, noop_max=30)
     env = MaxAndSkipEnv(env, skip=4)
     if max_episode_steps is not None:
@@ -215,7 +219,8 @@ def wrap_deepmind(env, episode_life=True, clip_rewards=True, fire_reset=True):
     return env
 
 
-def make_atari_vec_env(env_id: str, num_envs: int, frame_stack: int = 4):
+def make_atari_vec_env(env_id: str, num_envs: int, frame_stack: int = 4,
+                       need_render: bool = False):
     """Full pipeline: subproc workers running the DeepMind chain feeding the
     device engine via io_callback, frame-stacked in HBM."""
     from baselines_tpu.envs.callback_env import CallbackVecEnv
@@ -223,7 +228,7 @@ def make_atari_vec_env(env_id: str, num_envs: int, frame_stack: int = 4):
     from baselines_tpu.envs.vec import VecFrameStack
 
     def thunk():
-        return wrap_deepmind(make_atari(env_id))
+        return wrap_deepmind(make_atari(env_id, need_render=need_render))
 
     host = (
         HostSubprocVecEnv([thunk] * num_envs)

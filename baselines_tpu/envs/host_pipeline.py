@@ -9,9 +9,15 @@ versa.  Each phase is ONE ordered io_callback that simultaneously submits
 one group's actions (step_async) and collects the other group's results
 (step_wait) — so the callback count per env-step stays at the single-group
 bridge's rate while host env time and device policy time overlap instead of
-adding up.  Semantics are exactly on-policy: every action is computed from
-its group's current observation with the current parameters; group B's
-transitions simply materialize one scan phase later.
+adding up.  Semantics are on-policy WITHIN a rollout: every action is
+computed from its group's current observation; group B's transitions simply
+materialize one scan phase later.  Across a PPO parameter-update boundary,
+the single in-flight group-B transition carried over was acted/valued with
+the PREVIOUS iteration's params — one transition per group-B env per
+rollout.  The stored neglogp still matches the behavior policy, so the PPO
+ratio stays a correct importance weight; only that row's GAE value
+bootstrap is one update stale.  ppo.learn auto-enables pipelining for host
+envs — pass ``pipeline=False`` for strict serial ppo2 parity.
 
 Works with any host pool exposing step_async/step_wait (HostSubprocVecEnv,
 HostShmemVecEnv, the native C++ engine's GIL-releasing thread split) and

@@ -42,6 +42,14 @@ def train(args, extra_args):
     # (--reward_scale ref cmd_util.py:43, video flags ref cmd_util.py:163-164,
     # --gamestate ref run.py:99-101)
     env_kwargs = dict(alg_kwargs.pop("env_kwargs", None) or {})
+    # --s2d=4: TPU lane-aligned space-to-depth obs packing (envs/vec.py
+    # VecS2D); the default image network switches to the weight-equivalent
+    # cnn_s2d (nn/networks.py)
+    s2d = int(alg_kwargs.pop("s2d", 0) or 0)
+    if s2d:
+        env_kwargs["s2d"] = s2d
+        if alg_kwargs.get("network") == "cnn":
+            alg_kwargs["network"] = "cnn_s2d"
     if args.reward_scale != 1.0:
         env_kwargs["reward_scale"] = args.reward_scale
     if args.save_video_interval:
@@ -94,6 +102,7 @@ def main(argv=None):
             args.env,
             num_envs=1,
             frame_stack=int(extra_args.get("frame_stack", 0) or 0),
+            s2d=int(extra_args.get("s2d", 0) or 0),
             keep_dict_obs=args.alg == "her",  # goal policies consume dict obs
         )
         ret, length, episodes = evaluate(

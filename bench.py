@@ -38,14 +38,19 @@ import subprocess
 import sys
 import time
 
-# Watchdogged attempt ladder: (num_envs, nsteps, iters, timeout_s).  64 envs
-# is the saturated-throughput config (128 envs measures the same steps/s);
-# happy path is ~45s end-to-end, so the retries exist only to survive
-# multi-minute tunnel-service stalls.
+# Watchdogged attempt ladder: (num_envs, nsteps, network, dtype, s2d,
+# iters, timeout_s).  Primary config: 128 envs (throughput saturates there),
+# bf16 mixed-precision matmuls, space-to-depth packed obs (envs/vec.py
+# VecS2D + the weight-equivalent cnn_s2d — tests/test_s2d.py).  Happy path
+# is ~45s end-to-end; the retries exist only to survive multi-minute
+# tunnel-service stalls.  The last rungs measure the plain f32 layout so a
+# number exists even if the fast path regresses.
 ATTEMPTS = [
-    (64, 128, 10, 200),
-    (64, 128, 10, 180),
-    (16, 64, 8, 120),
+    # one long-budget primary: killing a child mid-execution can leave
+    # orphaned server-side work that stalls the NEXT program's first
+    # execution, so rapid-fire retries are counterproductive
+    (128, 128, "cnn_s2d", "bfloat16", 4, 10, 400),
+    (64, 128, "cnn", "float32", 0, 10, 110),
 ]
 CPU_DENOM_EXTRA_WAIT = 45  # max seconds to wait for vs_baseline after primary
 
@@ -60,7 +65,7 @@ def _honor_platform_env():
 
 
 def build_ppo_update(env_id, num_envs, nsteps, network, nminibatches, noptepochs,
-                     pipeline=False):
+                     pipeline=False, dtype=None, s2d=0):
     import jax
     import jax.numpy as jnp
 
@@ -80,9 +85,10 @@ def build_ppo_update(env_id, num_envs, nsteps, network, nminibatches, noptepochs
     venv = (
         build_env_pair(env_id, num_envs)
         if pipeline
-        else build_env(env_id, num_envs)
+        else build_env(env_id, num_envs, s2d=s2d)
     )
-    policy = build_policy(venv.observation_space, venv.action_space, network)
+    net_kwargs = {"dtype": dtype} if dtype else {}
+    policy = build_policy(venv.observation_space, venv.action_space, network, **net_kwargs)
     tx = adam_optimizer(0.5)
     if pipeline:
         key = seed_key(0)
@@ -167,7 +173,7 @@ def time_updates(update_fn, state, nbatch, iters):
     return iters * nbatch / dt, dt
 
 
-def measure_main(num_envs, nsteps, iters):
+def measure_main(num_envs, nsteps, network, dtype, s2d, iters):
     """Child process: time one fused-CNN config, print {"fps": ...} on stdout."""
     import jax
 
@@ -176,17 +182,22 @@ def measure_main(num_envs, nsteps, iters):
     logger.configure(format_strs=[])
     t0 = time.perf_counter()
     update_fn, state, nbatch, _ = build_ppo_update(
-        "AtariSim-v0", num_envs=num_envs, nsteps=nsteps, network="cnn",
+        "AtariSim-v0", num_envs=num_envs, nsteps=nsteps, network=network,
         nminibatches=4, noptepochs=4,
+        dtype=None if dtype == "float32" else dtype, s2d=s2d,
     )
     print(f"[bench] state built at {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     fps, dt = time_updates(update_fn, state, nbatch, iters)
     print(
-        f"[bench] cnn {num_envs}x{nsteps}: compile+first {time.perf_counter() - t0 - dt:.1f}s, "
+        f"[bench] {network}/{dtype}/s2d={s2d} {num_envs}x{nsteps}: "
+        f"compile+first {time.perf_counter() - t0 - dt:.1f}s, "
         f"{iters} timed updates in {dt:.2f}s on {jax.devices()[0]}",
         file=sys.stderr,
     )
-    print(json.dumps({"fps": fps, "num_envs": num_envs, "nsteps": nsteps}))
+    print(json.dumps({
+        "fps": fps, "num_envs": num_envs, "nsteps": nsteps,
+        "network": network, "dtype": dtype, "s2d": s2d,
+    }))
 
 
 def _run_child(args, timeout, env=None):
@@ -211,14 +222,16 @@ def _run_child(args, timeout, env=None):
 
 
 def cpu_denom_main():
-    """Child (JAX_PLATFORMS=cpu): fused-CNN denominator for vs_baseline."""
+    """Child (JAX_PLATFORMS=cpu): fused-CNN denominator for vs_baseline —
+    the same per-sample workload as the primary config (cnn_s2d, bf16,
+    packed obs) at a CPU-feasible batch."""
     _honor_platform_env()
     from baselines_tpu.core import logger
 
     logger.configure(format_strs=[])
     update_fn, state, nbatch, _ = build_ppo_update(
-        "AtariSim-v0", num_envs=4, nsteps=64, network="cnn",
-        nminibatches=4, noptepochs=4,
+        "AtariSim-v0", num_envs=4, nsteps=64, network="cnn_s2d",
+        nminibatches=4, noptepochs=4, dtype="bfloat16", s2d=4,
     )
     fps, _ = time_updates(update_fn, state, nbatch, iters=1)
     print(json.dumps({"cpu_fps": fps}))
@@ -291,9 +304,10 @@ def main(full=False):
     )
 
     primary = None
-    for num_envs, nsteps, iters, budget in ATTEMPTS:
+    for num_envs, nsteps, network, dtype, s2d, iters, budget in ATTEMPTS:
         primary = _run_child(
-            ["--measure", str(num_envs), str(nsteps), str(iters)], budget
+            ["--measure", str(num_envs), str(nsteps), network, dtype, str(s2d), str(iters)],
+            budget,
         )
         if primary:
             break
@@ -390,7 +404,10 @@ if __name__ == "__main__":
     elif "--measure" in sys.argv:
         _honor_platform_env()
         i = sys.argv.index("--measure")
-        measure_main(int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]))
+        measure_main(
+            int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3],
+            sys.argv[i + 4], int(sys.argv[i + 5]), int(sys.argv[i + 6]),
+        )
     else:
         _honor_platform_env()
         main(full="--full" in sys.argv)
