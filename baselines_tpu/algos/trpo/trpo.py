@@ -95,6 +95,7 @@ def learn(
     vf_iters: int = 3,
     fvp_subsample: int = 5,
     log_interval: int = 1,
+    save_interval: int = 0,
     load_path: str | None = None,
     normalize_observations: bool = False,
     mesh=None,
@@ -288,9 +289,34 @@ def learn(
         model.load(load_path)
         state = model.state
 
+    # periodic full-state checkpoints + auto-resume with progress (the
+    # ppo2-style save plus deepq-style resume, deepq/deepq.py:244-257 —
+    # the reference's trpo_mpi has neither)
+    start_it = 0
+    if save_interval and logger.get_dir():
+        from baselines_tpu.core.checkpoint import (
+            latest_checkpoint,
+            load_state,
+            periodic_path,
+            save_state,
+        )
+
+        latest = latest_checkpoint(logger.get_dir())
+        if latest is not None:
+            state = load_state(latest, jax.device_get(state))
+            state = jax.device_put(state)
+            if mesh is not None:
+                from baselines_tpu.distributed.mesh import shard_train_state
+
+                state = shard_train_state(mesh, state, nenvs)
+            start_it = int(state.iters)
+            logger.log(f"Resuming from checkpoint {latest} (iter {start_it})")
+
     tstart = time.time()
-    for it in range(1, niters + 1):
+    for it in range(start_it + 1, niters + 1):
         state, metrics = update(state)
+        if save_interval and (it % save_interval == 0 or it == 1) and logger.get_dir():
+            save_state(periodic_path(logger.get_dir(), it), jax.device_get(state))
         if log_interval and (it % log_interval == 0 or it == 1):
             metrics = jax.device_get(metrics)
             stats = VecMonitor.get_stats(state.env_state)

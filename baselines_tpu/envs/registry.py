@@ -88,6 +88,9 @@ register_env("MultiDiscreteIdentity-v0", "testing")(
     lambda: MultiDiscreteIdentityEnv((3, 3))
 )
 register_env("ImageIdentity-v0", "testing")(lambda: ImageIdentityEnv())
+# 36x36 variant: the smallest square frame the full Nature CNN's conv
+# ladder (8/4, 4/2, 3/1 VALID) accepts — for dqn/acer CNN learning tests
+register_env("ImageIdentity36-v0", "testing")(lambda: ImageIdentityEnv(size=36))
 register_env("FixedSequence-v0", "testing")(lambda: FixedSequenceEnv())
 # seed=3 draws an all-distinct action sequence, so the best memoryless
 # policy scores 1 of 4 and only recurrent policies can reach 4 of 4

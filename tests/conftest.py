@@ -28,6 +28,27 @@ assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run CNN-scale learning tests (the reference's RUNSLOW ladder, "
+        "common/tests/test_cartpole.py:16-42 pattern)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: CNN-scale learning test, needs --runslow or RUNSLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUNSLOW"):
+        return
+    skip = pytest.mark.skip(reason="needs --runslow (or RUNSLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
