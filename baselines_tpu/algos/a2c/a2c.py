@@ -87,10 +87,6 @@ def learn(
         value_network=value_network, **network_kwargs,
     )
 
-    key = seed_key(seed)
-    key, kreset, kinit = jax.random.split(key, 3)
-    obs, env_state = venv.reset(kreset)
-    params = policy.init(kinit, obs)
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.scale_by_rms(decay=alpha, eps=epsilon),
@@ -153,8 +149,11 @@ def learn(
         )
         return new_state, metrics
 
-    state = dealias(
-        A2CTrainState(
+    def make_state(key):
+        key, kreset, kinit = jax.random.split(key, 3)
+        obs, env_state = venv.reset(kreset)
+        params = policy.init(kinit, obs)
+        return A2CTrainState(
             params=params,
             opt_state=tx.init(params),
             key=key,
@@ -164,7 +163,10 @@ def learn(
             last_done=jnp.zeros((nenvs,), bool),
             update_idx=jnp.zeros((), jnp.int32),
         )
-    )
+
+    from baselines_tpu.algos.common import jit_init
+
+    state = jit_init(make_state, seed_key(seed))
     if mesh is not None:
         from baselines_tpu.distributed.mesh import shard_train_state
 

@@ -142,18 +142,17 @@ def learn(
         "bias Retrace targets; use ppo2/a2c for recurrent policies"
     )
 
-    key = seed_key(seed)
-    key, kreset, kinit = jax.random.split(key, 3)
-    obs, env_state = venv.reset(kreset)
-    params = policy.init(kinit, obs)
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.scale_by_rms(decay=rprop_alpha, eps=rprop_epsilon),
     )
 
-    # replay of whole trajectory chunks (acer/buffer.py role)
+    # replay of whole trajectory chunks (acer/buffer.py role); shapes come
+    # from the obs space so the whole init can run as ONE jitted program
     n_chunks = max(buffer_size // nsteps, 1)
     rb = ReplayBuffer(n_chunks)
+    ob_shape = venv.observation_space.shape
+    ob_dtype = venv.observation_space.dtype
     chunk_item = {
         "actions": jnp.zeros((nsteps,), jnp.int32),
         "rewards": jnp.zeros((nsteps,), jnp.float32),
@@ -161,18 +160,17 @@ def learn(
         "dones": jnp.zeros((nsteps,), jnp.float32),
     }
     if dedup_frames > 1:
-        kc = obs.shape[-1]
+        kc = ob_shape[-1]
         assert kc % dedup_frames == 0, (
             f"dedup_frames={dedup_frames} needs frame-stacked obs; last axis "
             f"is {kc}"
         )
-        chunk_item["obs0"] = jnp.zeros(obs.shape[1:], obs.dtype)
+        chunk_item["obs0"] = jnp.zeros(ob_shape, ob_dtype)
         chunk_item["frames"] = jnp.zeros(
-            (nsteps,) + obs.shape[1:-1] + (kc // dedup_frames,), obs.dtype
+            (nsteps,) + ob_shape[:-1] + (kc // dedup_frames,), ob_dtype
         )
     else:
-        chunk_item["obs"] = jnp.zeros((nsteps + 1,) + obs.shape[1:], obs.dtype)
-    replay = rb.init(chunk_item)
+        chunk_item["obs"] = jnp.zeros((nsteps + 1,) + ob_shape, ob_dtype)
 
     def to_stored(chunk):
         """Full rollout chunk → replay storage layout (frame dedup)."""
@@ -350,18 +348,24 @@ def learn(
             params=params, avg_params=avg_params, opt_state=opt_state, key=key
         ), metrics
 
-    state = dealias(
-        ACERTrainState(
+    def make_state(key):
+        key, kreset, kinit = jax.random.split(key, 3)
+        obs, env_state = venv.reset(kreset)
+        params = policy.init(kinit, obs)
+        return ACERTrainState(
             params=params,
             avg_params=params,
             opt_state=tx.init(params),
             key=key,
             env_state=env_state,
             obs=obs,
-            replay=replay,
+            replay=rb.init(chunk_item),
             update_idx=jnp.zeros((), jnp.int32),
         )
-    )
+
+    from baselines_tpu.algos.common import jit_init
+
+    state = jit_init(make_state, seed_key(seed))
     if mesh is not None:
         from baselines_tpu.distributed.mesh import shard_train_state
 

@@ -372,10 +372,6 @@ def learn(
     )
     policy = KfacPolicy(net)
 
-    key = seed_key(seed)
-    key, kreset, kinit = jax.random.split(key, 3)
-    obs, env_state = venv.reset(kreset)
-    params = net.init(kinit)
 
     def rollout(params, key, env_state, obs):
         def body(carry, _):
@@ -495,8 +491,11 @@ def learn(
             metrics,
         )
 
-    state = dealias(
-        ACKTRTrainState(
+    def make_state(key):
+        key, kreset, kinit = jax.random.split(key, 3)
+        obs, env_state = venv.reset(kreset)
+        params = net.init(kinit)
+        return ACKTRTrainState(
             params=params,
             kfac=init_kfac(net.layer_dims, params),
             key=key,
@@ -504,7 +503,10 @@ def learn(
             obs=obs,
             update_idx=jnp.zeros((), jnp.int32),
         )
-    )
+
+    from baselines_tpu.algos.common import jit_init
+
+    state = jit_init(make_state, seed_key(seed))
     if mesh is not None:
         from baselines_tpu.distributed.mesh import shard_train_state
 

@@ -162,13 +162,6 @@ def learn(
     action_noise, param_noise_std0 = parse_noise_type(noise_type, nb_actions)
     use_param_noise = param_noise_std0 is not None
 
-    key = seed_key(seed)
-    key, kreset, ka, kc = jax.random.split(key, 4)
-    obs, env_state = venv.reset(kreset)
-    obs_dim_sample = obs[:1]
-    actor_params = actor_net.init(ka, obs_dim_sample)
-    critic_params = critic_net.init(kc, obs_dim_sample, jnp.zeros((1, nb_actions)))
-
     actor_tx = optax.chain(
         *( [optax.clip_by_global_norm(clip_norm)] if clip_norm else [] ),
         optax.scale_by_adam(eps=1e-8),
@@ -179,14 +172,6 @@ def learn(
     )
 
     rb = ReplayBuffer(buffer_size)
-    sample_item = {
-        "obs": obs[0],
-        "action": jnp.zeros((nb_actions,), jnp.float32),
-        "reward": jnp.zeros((), jnp.float32),
-        "next_obs": obs[0],
-        "done": jnp.zeros((), jnp.float32),
-    }
-    replay = rb.init(sample_item)
 
     def norm_obs(rms, o):
         if not normalize_observations:
@@ -358,8 +343,20 @@ def learn(
         state = jax.lax.cond(can_train, do_trains, lambda s: s, state)
         return state
 
-    state = dealias(
-        DDPGTrainState(
+    def make_state(key):
+        key, kreset, ka, kc = jax.random.split(key, 4)
+        obs, env_state = venv.reset(kreset)
+        obs_dim_sample = obs[:1]
+        actor_params = actor_net.init(ka, obs_dim_sample)
+        critic_params = critic_net.init(kc, obs_dim_sample, jnp.zeros((1, nb_actions)))
+        sample_item = {
+            "obs": obs[0],
+            "action": jnp.zeros((nb_actions,), jnp.float32),
+            "reward": jnp.zeros((), jnp.float32),
+            "next_obs": obs[0],
+            "done": jnp.zeros((), jnp.float32),
+        }
+        return DDPGTrainState(
             actor_params=actor_params,
             critic_params=critic_params,
             target_actor_params=actor_params,
@@ -369,7 +366,7 @@ def learn(
             key=key,
             env_state=env_state,
             obs=obs,
-            replay=replay,
+            replay=rb.init(sample_item),
             obs_rms=RunningMeanStd.create(obs.shape[1:]),
             ret_rms=RunningMeanStd.create(()),
             action_noise_state=(
@@ -381,7 +378,10 @@ def learn(
             perturbed_actor_params=actor_params,
             t=jnp.zeros((), jnp.int32),
         )
-    )
+
+    from baselines_tpu.algos.common import jit_init
+
+    state = jit_init(make_state, seed_key(seed))
     if mesh is not None:
         from baselines_tpu.distributed.mesh import shard_train_state
 

@@ -194,10 +194,6 @@ def learn(
                 dueling=dueling, layer_norm=layer_norm)
     policy = QPolicy(qmod, venv.observation_space, n_actions)
 
-    key = seed_key(seed)
-    key, kreset, kinit = jax.random.split(key, 3)
-    obs, env_state = venv.reset(kreset)
-    params = policy.init(kinit, obs)
     tx = adam_optimizer(grad_norm_clipping)
 
     exploration = LinearSchedule(
@@ -206,18 +202,10 @@ def learn(
     beta_iters = prioritized_replay_beta_iters or total_timesteps
     beta_sched = LinearSchedule(beta_iters, 1.0, prioritized_replay_beta0)
 
-    sample_item = {
-        "obs": jax.tree_util.tree_map(lambda x: x[0], obs),
-        "action": jnp.zeros((), jnp.int32),
-        "reward": jnp.zeros((), jnp.float32),
-        "next_obs": jax.tree_util.tree_map(lambda x: x[0], obs),
-        "done": jnp.zeros((), jnp.float32),
-    }
     if prioritized_replay:
         rb = PrioritizedReplayBuffer(buffer_size, prioritized_replay_alpha)
     else:
         rb = ReplayBuffer(buffer_size)
-    replay = rb.init(sample_item)
 
     def td_loss(params, target_params, batch, weights):
         q_t = policy.q_values(params, batch["obs"])
@@ -340,21 +328,37 @@ def learn(
 
     update_fn = jax.jit(run_chunk, donate_argnums=0)
 
-    state = dealias(
-        DQNTrainState(
+    def make_state(key):
+        # ONE compiled init program: params, replay HBM zeros, env reset
+        # (eager per-op init costs minutes on a high-latency tunneled TPU
+        # backend — see algos/common.jit_init)
+        key, kreset, kinit = jax.random.split(key, 3)
+        obs, env_state = venv.reset(kreset)
+        params = policy.init(kinit, obs)
+        sample_item = {
+            "obs": jax.tree_util.tree_map(lambda x: x[0], obs),
+            "action": jnp.zeros((), jnp.int32),
+            "reward": jnp.zeros((), jnp.float32),
+            "next_obs": jax.tree_util.tree_map(lambda x: x[0], obs),
+            "done": jnp.zeros((), jnp.float32),
+        }
+        return DQNTrainState(
             params=params,
             target_params=params,
             opt_state=tx.init(params),
             key=key,
             env_state=env_state,
             obs=obs,
-            replay=replay,
+            replay=rb.init(sample_item),
             t=jnp.zeros((), jnp.int32),
             n_target_syncs=jnp.zeros((), jnp.int32),
             perturbed_params=params,
             param_noise_scale=jnp.asarray(0.01, jnp.float32),
         )
-    )
+
+    from baselines_tpu.algos.common import jit_init
+
+    state = jit_init(make_state, seed_key(seed))
     if mesh is not None:
         from baselines_tpu.distributed.mesh import shard_train_state
 

@@ -125,12 +125,7 @@ def learn(
         "recurrent policies unsupported for trpo (reference issue #188)"
     )
 
-    key = seed_key(seed)
-    key, kreset, kinit = jax.random.split(key, 3)
-    obs, env_state = venv.reset(kreset)
-    params = policy.init(kinit, obs)
     vf_tx = optax.adam(vf_stepsize, eps=1e-8)
-    _, vf0 = split_params(params)
 
     def pd_of(pol_params, vf_params, o):
         pdflat, vf, _ = policy.apply(merge_params(pol_params, vf_params), o)
@@ -266,8 +261,12 @@ def learn(
         )
         return new_state, metrics
 
-    state = dealias(
-        TRPOTrainState(
+    def make_state(key):
+        key, kreset, kinit = jax.random.split(key, 3)
+        obs, env_state = venv.reset(kreset)
+        params = policy.init(kinit, obs)
+        _, vf0 = split_params(params)
+        return TRPOTrainState(
             params=params,
             vf_opt=vf_tx.init(vf0),
             key=key,
@@ -277,7 +276,10 @@ def learn(
             last_done=jnp.zeros((nenvs,), bool),
             iters=jnp.zeros((), jnp.int32),
         )
-    )
+
+    from baselines_tpu.algos.common import jit_init
+
+    state = jit_init(make_state, seed_key(seed))
     if mesh is not None:
         from baselines_tpu.distributed.mesh import shard_train_state
 
