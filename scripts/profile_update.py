@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--nsteps", type=int, default=128)
     ap.add_argument("--network", default="cnn")
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--s2d", type=int, default=0)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -64,8 +66,9 @@ def main():
     logger.configure(format_strs=[])
     N, T = args.envs, args.nsteps
     iters = 3 if args.quick else 10
-    venv = build_env("AtariSim-v0", N)
-    policy = build_policy(venv.observation_space, venv.action_space, args.network)
+    venv = build_env("AtariSim-v0", N, s2d=args.s2d)
+    net_kwargs = {"dtype": args.dtype} if args.dtype else {}
+    policy = build_policy(venv.observation_space, venv.action_space, args.network, **net_kwargs)
     tx = adam_optimizer(0.5)
 
     def make_state(key):
