@@ -22,8 +22,9 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def measure(ndev: int, envs_per_dev: int, nsteps: int, network: str, env_id: str):
-    from baselines_tpu.algos.common import adam_optimizer, build_env, dealias
+def measure(ndev: int, envs_per_dev: int, nsteps: int, network: str, env_id: str,
+            dtype=None, s2d: int = 0):
+    from baselines_tpu.algos.common import adam_optimizer, build_env, jit_init
     from baselines_tpu.algos.ppo import ppo
     from baselines_tpu.core.rng import seed_key
     from baselines_tpu.core.schedules import resolve_fraction_schedule
@@ -32,21 +33,23 @@ def measure(ndev: int, envs_per_dev: int, nsteps: int, network: str, env_id: str
 
     num_envs = ndev * envs_per_dev
     mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("dp",))
-    venv = build_env(env_id, num_envs)
-    policy = build_policy(venv.observation_space, venv.action_space, network)
-    key = seed_key(0)
-    key, kreset, kinit = jax.random.split(key, 3)
-    obs, env_state = venv.reset(kreset)
-    params = policy.init(kinit, obs)
+    venv = build_env(env_id, num_envs, s2d=s2d)
+    net_kwargs = {"dtype": dtype} if dtype else {}
+    policy = build_policy(venv.observation_space, venv.action_space, network, **net_kwargs)
     tx = adam_optimizer(0.5)
-    state = dealias(
-        ppo.PPOTrainState(
+
+    def make_state(key):
+        key, kreset, kinit = jax.random.split(key, 3)
+        obs, env_state = venv.reset(kreset)
+        params = policy.init(kinit, obs)
+        return ppo.PPOTrainState(
             params=params, opt_state=tx.init(params), key=key,
             env_state=env_state, obs=obs, rnn_state=None,
             last_done=jnp.zeros((num_envs,), bool),
             update_idx=jnp.zeros((), jnp.int32),
         )
-    )
+
+    state = jit_init(make_state, seed_key(0))
     state = shard_train_state(mesh, state, num_envs)
     fn = jax.jit(
         ppo.make_update_fn(
@@ -74,6 +77,8 @@ def main():
     p.add_argument("--network", default="mlp")
     p.add_argument("--envs_per_dev", type=int, default=256)
     p.add_argument("--nsteps", type=int, default=128)
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--s2d", type=int, default=0)
     args = p.parse_args()
 
     ndevs = []
@@ -85,7 +90,8 @@ def main():
     print(f"devices: {len(jax.devices())}x {jax.devices()[0].platform}")
     print(f"{'ndev':>5} {'envs':>6} {'steps/s':>14} {'scaling':>8} {'efficiency':>10}")
     for nd in ndevs:
-        fps = measure(nd, args.envs_per_dev, args.nsteps, args.network, args.env)
+        fps = measure(nd, args.envs_per_dev, args.nsteps, args.network, args.env,
+                      dtype=args.dtype, s2d=args.s2d)
         base = base or fps
         print(
             f"{nd:>5} {nd * args.envs_per_dev:>6} {fps:>14,.0f} "

@@ -19,19 +19,20 @@ def test_her_fetchreach_learns(tmp_path):
     logger.configure(dir=str(tmp_path), format_strs=["csv"])
     model = learn(
         env_id="FetchReach-v4",
-        total_timesteps=16000,
+        total_timesteps=32000,
         seed=0,
         num_envs=4,
-        n_test_rollouts=8,
+        n_test_rollouts=10,
         log_interval=1,
     )
-    # reference gate: 0.9 success on FetchReach (test_fetchreach.py:20-40);
-    # shortened run keeps CI time bounded
+    # the reference gate: >= 0.9 success on FetchReach
+    # (common/tests/test_fetchreach.py:20-40); measured 1.0 over the last
+    # 8 epochs at this budget (VERDICT r2 #7)
     rows = open(tmp_path / "progress.csv").read().splitlines()
     header = rows[0].split(",")
     idx = header.index("test/success_rate")
     final = float(rows[-1].split(",")[idx])
-    assert final >= 0.8, final
+    assert final >= 0.9, final
     # params.json dump (her/experiment/config.py log_params analog)
     params = json.load(open(tmp_path / "params.json"))
     assert params["env_id"] == "FetchReach-v4"
