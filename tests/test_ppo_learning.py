@@ -123,7 +123,7 @@ def test_ppo_cnn_lstm_image_fixed_sequence():
         env=make_venv(),
         network="cnn_lstm",
         nlstm=32,
-        total_timesteps=8_000,
+        total_timesteps=16_000,
         seed=0,
         nsteps=8,
         nminibatches=1,
