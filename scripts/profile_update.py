@@ -21,7 +21,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import os as _os
+
 import jax
+
+# the TPU site plugin forces its platform at interpreter start;
+# honor JAX_PLATFORMS so these scripts can run on the CPU backend
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 
