@@ -455,13 +455,17 @@ def learn(
             logger.log(f"Resuming from checkpoint {latest} (update {start_update})")
 
     tfirststart = time.time()
+    tlastlog, lastlog_update = tfirststart, start_update
     for update in range(start_update + 1, nupdates + 1):
-        tstart = time.time()
         state, metrics = update_fn(state)
         if update % log_interval == 0 or update == 1:
             metrics = jax.device_get(metrics)
             tnow = time.time()
-            fps = int(nbatch / (tnow - tstart))
+            # fps over the whole interval since the last sync: dispatch is
+            # async, so per-update wall time is meaningless — the syncing
+            # update absorbs every queued update's device time
+            fps = int((update - lastlog_update) * nbatch / (tnow - tlastlog))
+            tlastlog, lastlog_update = tnow, update
             stats = VecMonitor.get_stats(state.env_state)
             logger.logkv("misc/serial_timesteps", update * nsteps)
             logger.logkv("misc/nupdates", update)
