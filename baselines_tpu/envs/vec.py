@@ -291,6 +291,13 @@ class VecFrameStack(VecWrapper):
         return state.inner
 
     def post(self, state, obs, inner, rew, done, info):
+        if "terminal_obs" in info:
+            # the true terminal s' stack: previous frames shifted by the
+            # PRE-reset terminal frame (no zeroing — the episode hadn't
+            # reset when s' was observed)
+            info = dict(
+                info, terminal_obs=self._insert(state.frames, info["terminal_obs"])
+            )
         frames = _where_done(done, jnp.zeros_like(state.frames), state.frames)
         frames = self._insert(frames, obs)
         return frames, FrameStackState(inner, frames), rew, done, info
@@ -392,6 +399,8 @@ class VecS2D(VecWrapper):
         return self._pack(obs), inner
 
     def post(self, state, obs, inner, rew, done, info):
+        if "terminal_obs" in info:
+            info = dict(info, terminal_obs=self._pack(info["terminal_obs"]))
         return self._pack(obs), inner, rew, done, info
 
 
@@ -488,6 +497,10 @@ class VecNormalize(VecWrapper):
             )
         ret = jnp.where(done, 0.0, ret)
         new_state = NormalizeState(inner, ob_rms, ret_rms, ret)
+        if "terminal_obs" in info:
+            # replay learners store info['terminal_obs'] as the true s';
+            # it must live in the same (normalized) space as obs
+            info = dict(info, terminal_obs=self._norm_obs(ob_rms, info["terminal_obs"]))
         return self._norm_obs(ob_rms, obs), new_state, rew, done, info
 
 
