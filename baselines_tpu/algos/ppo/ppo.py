@@ -145,13 +145,25 @@ def make_update_fn(
     pipelined=False,
     adv_norm="minibatch",
     clip_value=True,
+    ndev=1,
 ):
     """adv_norm: 'minibatch' standardizes advantages per minibatch
     (ppo2/model.py:136-139); 'batch' standardizes once over the whole actor
     batch before the epochs (ppo1/pposgd_simple.py semantics).  clip_value
-    selects ppo2's clipped value loss vs ppo1's plain MSE."""
+    selects ppo2's clipped value loss vs ppo1's plain MSE.
+
+    ndev: number of dp-mesh shards the env axis is split over.  When > 1 the
+    epoch shuffle is SHARD-LOCAL — each device permutes only its own envs'
+    samples and every minibatch takes an equal slice from every shard.  This
+    is the reference's distributed semantics exactly (each MPI rank runs its
+    own runner and shuffles its own batch, ppo2/ppo2.py:160-165, with only
+    the gradient mean crossing ranks, mpi_adam_optimizer.py:39-46) and it is
+    what keeps the train epochs data-parallel under GSPMD: a GLOBAL element
+    permutation of a dp-sharded batch forces XLA to all-gather the whole
+    trajectory onto every device, serializing the train phase."""
     nenvs = venv.num_envs
     assert adv_norm in ("minibatch", "batch"), adv_norm
+    assert nenvs % ndev == 0, (nenvs, ndev)
     loss_fn = make_ppo_loss(policy, ent_coef, vf_coef, clip_value=clip_value)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     recurrent = policy.is_recurrent
@@ -230,22 +242,67 @@ def make_update_fn(
                 params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
                 return (params, opt_state), metrics
 
-            def epoch_step(carry, ekey):
-                perm = jax.random.permutation(ekey, nenvs).reshape(nminibatches, envs_per_mb)
+            if ndev == 1:
 
-                def mb_of(eidx):
-                    mb_batch = jax.tree_util.tree_map(lambda x: x[:, eidx], batch_t)
-                    mb_advs = None if batch_advs_t is None else batch_advs_t[:, eidx]
-                    return mb_batch, mb_advs, rollout_init_rnn[eidx]
+                def epoch_step(carry, ekey):
+                    perm = jax.random.permutation(ekey, nenvs).reshape(nminibatches, envs_per_mb)
 
-                mbs = jax.vmap(mb_of)(perm)  # leading axis nminibatches
-                return jax.lax.scan(mb_step, carry, mbs)
+                    def mb_of(eidx):
+                        mb_batch = jax.tree_util.tree_map(lambda x: x[:, eidx], batch_t)
+                        mb_advs = None if batch_advs_t is None else batch_advs_t[:, eidx]
+                        return mb_batch, mb_advs, rollout_init_rnn[eidx]
+
+                    mbs = jax.vmap(mb_of)(perm)  # leading axis nminibatches
+                    return jax.lax.scan(mb_step, carry, mbs)
+
+            else:
+                # shard-local env shuffle: each dp shard permutes its own
+                # envs; every minibatch takes envs_per_mb/ndev envs per shard
+                nl_envs = nenvs // ndev
+                epb_l = envs_per_mb // ndev
+                assert envs_per_mb % ndev == 0, (envs_per_mb, ndev)
+
+                def to_shards(x):  # (T, N, ...) -> (ndev, T, N/ndev, ...)
+                    x = x.reshape((nsteps, ndev, nl_envs) + x.shape[2:])
+                    return jnp.moveaxis(x, 1, 0)
+
+                batch_sh = jax.tree_util.tree_map(to_shards, batch_t)
+                advs_sh = None if batch_advs_t is None else to_shards(batch_advs_t)
+                rnn_sh = jax.tree_util.tree_map(
+                    lambda x: x.reshape((ndev, nl_envs) + x.shape[1:]), rollout_init_rnn
+                )
+
+                def epoch_step(carry, ekey):
+                    perms = jax.vmap(lambda k: jax.random.permutation(k, nl_envs))(
+                        jax.random.split(ekey, ndev)
+                    ).reshape(ndev, nminibatches, epb_l)
+
+                    def mb_of(midx):
+                        eidx = perms[:, midx]  # (ndev, epb_l)
+                        # per-shard env gather, then fold shards back into the
+                        # minibatch's batch axis (shard-major, so the merged
+                        # axis stays dp-sharded under GSPMD)
+                        def take(x):  # (ndev, T, N/ndev, ...) -> (T, ndev*epb_l, ...)
+                            g = jax.vmap(lambda xd, ed: xd[:, ed])(x, eidx)
+                            g = jnp.moveaxis(g, 0, 1)  # (T, ndev, epb_l, ...)
+                            return g.reshape((nsteps, ndev * epb_l) + g.shape[3:])
+
+                        mb_batch = jax.tree_util.tree_map(take, batch_sh)
+                        mb_advs = None if advs_sh is None else take(advs_sh)
+                        mb_rnn = jax.tree_util.tree_map(
+                            lambda x: jax.vmap(lambda xd, ed: xd[ed])(x, eidx).reshape(
+                                (ndev * epb_l,) + x.shape[2:]
+                            ),
+                            rnn_sh,
+                        )
+                        return mb_batch, mb_advs, mb_rnn
+
+                    mbs = jax.vmap(mb_of)(jnp.arange(nminibatches))
+                    return jax.lax.scan(mb_step, carry, mbs)
 
         else:
             nbatch = nenvs * nsteps
             nbatch_train = nbatch // nminibatches
-            batch_flat = jax.tree_util.tree_map(_flat01, batch_t)
-            batch_advs = None if batch_advs_t is None else _flat01(batch_advs_t)
 
             def mb_step(carry, mb):
                 params, opt_state = carry
@@ -254,12 +311,58 @@ def make_update_fn(
                 params, opt_state = apply_updates_lr(tx, params, opt_state, grads, lr)
                 return (params, opt_state), metrics
 
-            def epoch_step(carry, ekey):
-                perm = jax.random.permutation(ekey, nbatch)
-                slice_mb = lambda x: x[perm].reshape((nminibatches, nbatch_train) + x.shape[1:])
-                mbs = jax.tree_util.tree_map(slice_mb, batch_flat)
-                advs_mbs = None if batch_advs is None else slice_mb(batch_advs)
-                return jax.lax.scan(mb_step, carry, (mbs, advs_mbs))
+            if ndev == 1:
+                batch_flat = jax.tree_util.tree_map(_flat01, batch_t)
+                batch_advs = None if batch_advs_t is None else _flat01(batch_advs_t)
+
+                def epoch_step(carry, ekey):
+                    perm = jax.random.permutation(ekey, nbatch)
+                    slice_mb = lambda x: x[perm].reshape((nminibatches, nbatch_train) + x.shape[1:])
+                    mbs = jax.tree_util.tree_map(slice_mb, batch_flat)
+                    advs_mbs = None if batch_advs is None else slice_mb(batch_advs)
+                    return jax.lax.scan(mb_step, carry, (mbs, advs_mbs))
+
+            else:
+                # shard-local shuffle (the per-MPI-rank shuffle of
+                # ppo2/ppo2.py:160-165): permute each shard's samples among
+                # themselves so no cross-device element gather exists and the
+                # epochs stay fully data-parallel.  Layout: (T, N, ...) ->
+                # (ndev, local_nbatch, ...) with axis 0 dp-sharded; minibatch
+                # = an equal slice of every shard, merged shard-major so the
+                # flat batch axis stays dp-sharded.
+                nl_envs = nenvs // ndev
+                local_nbatch = nl_envs * nsteps
+                local_mb = nbatch_train // ndev
+                assert nbatch_train % ndev == 0, (nbatch_train, ndev)
+
+                def to_local(x):  # (T, N, ...) -> (ndev, local_nbatch, ...)
+                    x = x.reshape((nsteps, ndev, nl_envs) + x.shape[2:])
+                    x = jnp.moveaxis(x, 1, 0)
+                    return x.reshape((ndev, local_nbatch) + x.shape[3:])
+
+                batch_local = jax.tree_util.tree_map(to_local, batch_t)
+                advs_local = None if batch_advs_t is None else to_local(batch_advs_t)
+                merge = lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+                def mb_step_sharded(carry, mb):
+                    mb_batch, mb_advs = mb  # leaves (ndev, local_mb, ...)
+                    mb_batch = jax.tree_util.tree_map(merge, mb_batch)
+                    mb_advs = None if mb_advs is None else merge(mb_advs)
+                    return mb_step(carry, (mb_batch, mb_advs))
+
+                def epoch_step(carry, ekey):
+                    perms = jax.vmap(lambda k: jax.random.permutation(k, local_nbatch))(
+                        jax.random.split(ekey, ndev)
+                    )
+
+                    def slice_mb(x):  # (ndev, local_nbatch, ...)
+                        g = jax.vmap(lambda xd, pd: xd[pd])(x, perms)
+                        g = g.reshape((ndev, nminibatches, local_mb) + x.shape[2:])
+                        return jnp.moveaxis(g, 1, 0)  # (nmb, ndev, local_mb, ...)
+
+                    mbs = jax.tree_util.tree_map(slice_mb, batch_local)
+                    advs_mbs = None if advs_local is None else slice_mb(advs_local)
+                    return jax.lax.scan(mb_step_sharded, carry, (mbs, advs_mbs))
 
         key, ekeys = key, jax.random.split(key, noptepochs + 1)
         key, ekeys = ekeys[0], ekeys[1:]
@@ -425,6 +528,7 @@ def learn(
             pipelined=pipeline,
             adv_norm=adv_norm,
             clip_value=clip_value,
+            ndev=mesh.devices.size if mesh is not None else 1,
         ),
         donate_argnums=0,
     )

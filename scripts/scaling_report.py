@@ -64,6 +64,7 @@ def measure(ndev: int, envs_per_dev: int, nsteps: int, network: str, env_id: str
             gamma=0.99, lam=0.95, ent_coef=0.0, vf_coef=0.5,
             lr_fn=resolve_fraction_schedule(3e-4),
             cliprange_fn=resolve_fraction_schedule(0.2), nupdates=10000,
+            ndev=ndev,
         ),
         donate_argnums=0,
     )
