@@ -150,10 +150,17 @@ def build_env(
         venv = VecFrameStack(venv, frame_stack)
     if s2d:
         # TPU lane-aligned obs packing (envs/vec.py VecS2D); sits after
-        # frame stacking so all stacked channels pack together
+        # frame stacking so all stacked channels pack together.  flat=False:
+        # the flat-row layout saves 2.3x on obs HBM footprint and makes the
+        # standalone rollout scan 3x faster, but measured 5% SLOWER on the
+        # fused train iteration (the per-minibatch unflatten defeats XLA's
+        # cast/conv fusion) — so the packed 3-D layout stays the default
+        # (scripts/profile_gather.py, profile_sharded.py 2026-08-21)
         from baselines_tpu.envs.vec import VecS2D
 
-        venv = VecS2D(venv, s2d if s2d > 1 else 4)
+        if s2d < 2:
+            raise ValueError(f"--s2d must be a block size >= 2, got {s2d}")
+        venv = VecS2D(venv, s2d, flat=False)
     if save_video_interval:
         from baselines_tpu.core import logger
         from baselines_tpu.envs.video import VecVideoRecorder, jax_env_frame_fn

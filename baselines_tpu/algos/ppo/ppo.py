@@ -38,6 +38,7 @@ from baselines_tpu.core.math import explained_variance
 from baselines_tpu.core.rng import seed_key
 from baselines_tpu.core.schedules import resolve_fraction_schedule
 from baselines_tpu.data.gae import gae
+from baselines_tpu.ops.gather import take_rows_fast
 from baselines_tpu.envs.vec import VecMonitor
 from baselines_tpu.nn.policy import build_policy
 
@@ -59,7 +60,9 @@ def _flat01(x):
     return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
 
-def make_ppo_loss(policy, ent_coef, vf_coef, clip_value=True):
+def make_ppo_loss(policy, ent_coef, vf_coef, clip_value=True, remat=False):
+    apply = jax.checkpoint(policy.apply) if remat else policy.apply
+
     def loss_fn(params, batch, advs, cliprange, rnn_init=None):
         """batch leaves are flat (B, ...) for feedforward; time-major
         (T, B, ...) plus rnn_init (B, h) for recurrent policies.  `advs` are
@@ -85,7 +88,7 @@ def make_ppo_loss(policy, ent_coef, vf_coef, clip_value=True):
                 _flat01(advs),
             )
         else:
-            pdflat, vpred, _ = policy.apply(params, obs)
+            pdflat, vpred, _ = apply(params, obs)
         pd = policy.pdtype.pdfromflat(pdflat)
 
         neglogpac = pd.neglogp(actions)
@@ -146,6 +149,8 @@ def make_update_fn(
     adv_norm="minibatch",
     clip_value=True,
     ndev=1,
+    unroll=False,
+    remat=False,
 ):
     """adv_norm: 'minibatch' standardizes advantages per minibatch
     (ppo2/model.py:136-139); 'batch' standardizes once over the whole actor
@@ -164,7 +169,7 @@ def make_update_fn(
     nenvs = venv.num_envs
     assert adv_norm in ("minibatch", "batch"), adv_norm
     assert nenvs % ndev == 0, (nenvs, ndev)
-    loss_fn = make_ppo_loss(policy, ent_coef, vf_coef, clip_value=clip_value)
+    loss_fn = make_ppo_loss(policy, ent_coef, vf_coef, clip_value=clip_value, remat=remat)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     recurrent = policy.is_recurrent
     if pipelined:
@@ -317,10 +322,12 @@ def make_update_fn(
 
                 def epoch_step(carry, ekey):
                     perm = jax.random.permutation(ekey, nbatch)
-                    slice_mb = lambda x: x[perm].reshape((nminibatches, nbatch_train) + x.shape[1:])
+                    slice_mb = lambda x: take_rows_fast(x, perm).reshape(
+                        (nminibatches, nbatch_train) + x.shape[1:]
+                    )
                     mbs = jax.tree_util.tree_map(slice_mb, batch_flat)
                     advs_mbs = None if batch_advs is None else slice_mb(batch_advs)
-                    return jax.lax.scan(mb_step, carry, (mbs, advs_mbs))
+                    return jax.lax.scan(mb_step, carry, (mbs, advs_mbs), unroll=unroll)
 
             else:
                 # shard-local shuffle (the per-MPI-rank shuffle of
@@ -356,7 +363,7 @@ def make_update_fn(
                     )
 
                     def slice_mb(x):  # (ndev, local_nbatch, ...)
-                        g = jax.vmap(lambda xd, pd: xd[pd])(x, perms)
+                        g = jax.vmap(take_rows_fast)(x, perms)
                         g = g.reshape((ndev, nminibatches, local_mb) + x.shape[2:])
                         return jnp.moveaxis(g, 1, 0)  # (nmb, ndev, local_mb, ...)
 
@@ -367,7 +374,7 @@ def make_update_fn(
         key, ekeys = key, jax.random.split(key, noptepochs + 1)
         key, ekeys = ekeys[0], ekeys[1:]
         (params, opt_state), metrics = jax.lax.scan(
-            epoch_step, (state.params, state.opt_state), ekeys
+            epoch_step, (state.params, state.opt_state), ekeys, unroll=unroll
         )
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         metrics["explained_variance"] = explained_variance(_flat01(traj.values), _flat01(returns))

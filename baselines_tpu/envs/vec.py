@@ -375,7 +375,7 @@ class VecS2D(VecWrapper):
     ``build_policy`` (nn/networks.py cnn_s2d).  The transform runs once per
     env step on uint8 frames, so rollout HBM traffic is unchanged."""
 
-    def __init__(self, venv, block: int = 4):
+    def __init__(self, venv, block: int = 4, flat: bool = False):
         super().__init__(venv)
         sp = venv.observation_space
         h, w, c = sp.shape
@@ -383,16 +383,28 @@ class VecS2D(VecWrapper):
             f"obs {sp.shape} not divisible by s2d block {block}"
         )
         self.block = int(block)
+        self.flat = bool(flat)
+        packed = (h // block, w // block, block * block * c)
+        # flat mode: emit each packed frame as ONE contiguous row.  The 3-D
+        # packed shape (21,21,64) gets a (sublane,lane)-padded HBM layout on
+        # TPU — physically 21x24x128 = 2.3x the logical bytes — so every
+        # rollout store and epoch-shuffle gather of the obs batch moves 2.3x
+        # the data.  A (28224,) row pads only to the next lane multiple
+        # (+0.2%), and the reshape back to (21,21,64) fuses into the
+        # network's uint8->bf16 cast for free (scripts/profile_gather.py).
+        shape = (int(np.prod(packed)),) if self.flat else packed
         self.observation_space = Box(
-            np.min(sp.low), np.max(sp.high),
-            (h // block, w // block, block * block * c), dtype=sp.dtype,
+            np.min(sp.low), np.max(sp.high), shape, dtype=sp.dtype,
         )
+        if self.flat:
+            self.observation_space.packed_shape = packed
 
     def _pack(self, obs):
         b = self.block
         n, h, w, c = obs.shape
         x = obs.reshape(n, h // b, b, w // b, b, c)
-        return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // b, w // b, b * b * c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // b, w // b, b * b * c)
+        return x.reshape(n, -1) if self.flat else x
 
     def reset(self, key):
         obs, inner = self.venv.reset(key)

@@ -115,14 +115,26 @@ class NatureCNNS2D(nn.Module):
     identical fan-in of 256).  The packed layout keeps the channel (lane)
     dimension at 64/32/64 everywhere, which is what the TPU's (8,128)
     tiling wants; measured 29% faster fwd+bwd than the C=4 original on a
-    v5e.  Reference semantics: models.py:15-26."""
+    v5e.  Reference semantics: models.py:15-26.
+
+    packed_shape: when the env delivers each packed frame as a FLAT row
+    (VecS2D flat=True — avoids the 2.3x tile-padding of small-channel 3-D
+    uint8 layouts in HBM), this is the (h, w, c) to unflatten to; the
+    reshape fuses into the uint8 cast below at zero cost."""
 
     dtype: Any = jnp.float32
+    packed_shape: tuple | None = None
 
     is_recurrent = False
 
     @nn.compact
     def __call__(self, x):
+        if x.ndim == 2:
+            assert self.packed_shape is not None, (
+                "flat packed obs need packed_shape (set by build_policy from "
+                "the env's observation_space)"
+            )
+            x = x.reshape((x.shape[0],) + tuple(self.packed_shape))
         h = _to_float(x).astype(self.dtype)
         h = nn.relu(nn.Conv(32, (2, 2), (1, 1), padding="VALID", dtype=self.dtype, kernel_init=ortho(np.sqrt(2)), name="c1")(h))
         h = nn.relu(nn.Conv(64, (4, 4), (2, 2), padding="VALID", dtype=self.dtype, kernel_init=ortho(np.sqrt(2)), name="c2")(h))

@@ -151,6 +151,14 @@ def build_policy(
     value_network: None/'shared' share the latent; 'copy' builds an
     independent value tower of the same architecture.
     """
+    if (
+        isinstance(network, str)
+        and network == "cnn_s2d"
+        and getattr(ob_space, "packed_shape", None) is not None
+    ):
+        # flat-row packed obs (VecS2D flat=True): tell the net how to
+        # unflatten — the reshape fuses into its uint8 cast
+        network_kwargs.setdefault("packed_shape", tuple(ob_space.packed_shape))
     net = get_network(network, **network_kwargs)
     vnet = None
     if value_network == "copy":

@@ -52,8 +52,12 @@ import time
 ATTEMPTS = [
     # one long-budget primary: killing a child mid-execution can leave
     # orphaned server-side work that stalls the NEXT program's first
-    # execution, so rapid-fire retries are counterproductive
-    (128, 128, "cnn_s2d", "bfloat16", 4, 10, 400),
+    # execution, so rapid-fire retries are counterproductive.  256 envs is
+    # the measured throughput-saturation point (scripts/profile_sharded.py
+    # r4: 128→192k, 256→199k, 512→196k steps/s); 128 stays as the retry
+    # rung (lighter, ~4% slower).
+    (256, 128, "cnn_s2d", "bfloat16", 4, 10, 400),
+    (128, 128, "cnn_s2d", "bfloat16", 4, 10, 180),
     (64, 128, "cnn", "float32", 0, 10, 110),
 ]
 R1_CAPTURED_FPS = 54761.3  # BENCH_r01.json driver-captured primary

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def build(env_id, num_envs, nsteps, network, dtype, s2d, mesh=None):
+def build(env_id, num_envs, nsteps, network, dtype, s2d, mesh=None, unroll=False, remat=False):
     from baselines_tpu.algos.common import adam_optimizer, build_env, jit_init
     from baselines_tpu.algos.ppo import ppo
     from baselines_tpu.core.rng import seed_key
@@ -64,6 +64,8 @@ def build(env_id, num_envs, nsteps, network, dtype, s2d, mesh=None):
             lr_fn=resolve_fraction_schedule(2.5e-4),
             cliprange_fn=resolve_fraction_schedule(0.1), nupdates=10000,
             ndev=mesh.devices.size if mesh is not None else 1,
+            unroll=unroll,
+            remat=remat,
         ),
         donate_argnums=0,
     )
@@ -88,6 +90,8 @@ def main():
     p.add_argument("--env", default="AtariSim-v0")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--chunks", type=int, default=5)
+    p.add_argument("--unroll", action="store_true")
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
     from baselines_tpu.core import logger
 
@@ -100,7 +104,7 @@ def main():
     for name, m in (("unsharded", None), ("sharded_1dev", mesh)):
         t0 = time.perf_counter()
         fn, state = build(args.env, args.envs, args.nsteps, args.network, dtype,
-                          args.s2d, mesh=m)
+                          args.s2d, mesh=m, unroll=args.unroll, remat=args.remat)
         state, _ = chunk(fn, state, 1)  # compile + warmup
         print(f"[{name}] built+compiled in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)

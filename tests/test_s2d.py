@@ -93,3 +93,34 @@ def test_build_env_s2d_chain():
         jax.random.PRNGKey(1), state, jnp.zeros((2,), jnp.int32)
     )
     assert obs2.shape == (2, 21, 21, 64)
+
+
+def test_flat_pack_matches_3d_pack():
+    """VecS2D(flat=True) rows are exactly the flattened 3-D packing, and the
+    cnn_s2d net with packed_shape produces identical outputs on them."""
+    from baselines_tpu.envs.vec import VecS2D
+
+    rng = np.random.default_rng(1)
+    obs = rng.integers(0, 255, (3, 8, 8, 2), dtype=np.uint8)
+
+    class _FakeVenv:
+        num_envs = 3
+        observation_space = type(
+            "S", (), {"shape": (8, 8, 2), "low": 0, "high": 255, "dtype": np.uint8}
+        )()
+        action_space = None
+
+    w3 = VecS2D(_FakeVenv(), block=4)
+    wf = VecS2D(_FakeVenv(), block=4, flat=True)
+    p3 = np.asarray(w3._pack(jnp.asarray(obs)))
+    pf = np.asarray(wf._pack(jnp.asarray(obs)))
+    np.testing.assert_array_equal(pf, p3.reshape(3, -1))
+    assert wf.observation_space.shape == (2 * 2 * 32,)
+    assert wf.observation_space.packed_shape == (2, 2, 32)
+
+    net3 = NatureCNNS2D()
+    netf = NatureCNNS2D(packed_shape=(2, 2, 32))
+    params = net3.init(jax.random.PRNGKey(0), jnp.asarray(p3))
+    out3 = net3.apply(params, jnp.asarray(p3))
+    outf = netf.apply(params, jnp.asarray(pf))
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(outf), rtol=1e-6)
