@@ -399,10 +399,21 @@ def jit_init(make_state, *args):
     high-latency tunneled TPU backend that costs minutes (measured: 73s
     eager vs 13s single-jit for the 64-env nature-CNN PPO state).  Falls
     back to eager construction when the closure is untraceable (e.g. a
-    host video-recorder reset)."""
+    host video-recorder reset) — loudly, because (a) for host-callback envs
+    a partially-executed jitted init may already have reset env pools, and
+    (b) a silent regression to the minutes-long eager path would otherwise
+    be invisible."""
     try:
         made = jax.jit(make_state)(*args)
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"jit_init fell back to eager state construction ({type(e).__name__}: "
+            f"{e}); expect a slow init, and for host-callback envs a possible "
+            "double env-pool reset",
+            stacklevel=2,
+        )
         made = make_state(*args)
     return dealias(made)
 

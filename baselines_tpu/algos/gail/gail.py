@@ -62,6 +62,8 @@ def learn(
     network: str = "mlp",
     total_timesteps: int,
     expert_dataset=None,
+    expert_path: str | None = None,
+    traj_limitation: int = -1,
     seed: int | None = None,
     num_envs: int = 4,
     env_kwargs: dict | None = None,
@@ -86,8 +88,19 @@ def learn(
     mesh=None,
     **network_kwargs,
 ) -> Model:
-    """gail/trpo_mpi.learn analog."""
-    assert expert_dataset is not None, "GAIL requires an expert_dataset"
+    """gail/trpo_mpi.learn analog.
+
+    expert_path: .npz of expert trajectories in the reference schema
+    (gail/dataset/mujoco_dset.py: obs (E,T,do), acs (E,T,da)) — the CLI
+    route (`--alg=gail --expert_path=...`); expert_dataset takes precedence
+    when both are given."""
+    if expert_dataset is None and expert_path is not None:
+        from baselines_tpu.algos.gail.dataset import ExpertDataset
+
+        expert_dataset = ExpertDataset(
+            expert_path=expert_path, traj_limitation=traj_limitation
+        )
+    assert expert_dataset is not None, "GAIL requires an expert_dataset (or expert_path)"
     venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
     nenvs = venv.num_envs
     nsteps = max(timesteps_per_batch // nenvs, 1)

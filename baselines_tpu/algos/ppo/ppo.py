@@ -549,9 +549,18 @@ def learn(
     # hold the FULL train state including update_idx, so a killed run
     # restarts from its latest checkpoint with schedule progress intact —
     # the ppo2 analog of deepq's auto-resume (deepq/deepq.py:244-257;
-    # ppo2 itself only saves, ppo2/ppo2.py:211-216)
+    # ppo2 itself only saves, ppo2/ppo2.py:211-216).  An explicit load_path
+    # wins over auto-resume: a user pointing at a specific checkpoint must
+    # not be silently overridden by stale checkpoints/ from a prior run in
+    # the same log dir.  Caveat for host/pipelined envs: the checkpoint
+    # restores device-side env state (obs, pending pipe transitions,
+    # normalize/monitor stats) but host env pools restart fresh, so the
+    # FIRST post-resume rollout pairs checkpointed obs with freshly-reset
+    # host envs — one rollout of slightly inconsistent transitions, same
+    # order as the update-boundary staleness documented in
+    # envs/host_pipeline.py (pure-JAX envs resume bitwise; tests/test_resume.py)
     start_update = 0
-    if save_interval and logger.get_dir():
+    if save_interval and logger.get_dir() and load_path is None:
         from baselines_tpu.core.checkpoint import latest_checkpoint, load_state
 
         latest = latest_checkpoint(logger.get_dir())

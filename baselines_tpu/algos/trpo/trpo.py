@@ -293,9 +293,11 @@ def learn(
 
     # periodic full-state checkpoints + auto-resume with progress (the
     # ppo2-style save plus deepq-style resume, deepq/deepq.py:244-257 —
-    # the reference's trpo_mpi has neither)
+    # the reference's trpo_mpi has neither).  An explicit load_path wins
+    # over auto-resume (see ppo.py: stale checkpoints/ in a reused log dir
+    # must not override the user's checkpoint choice)
     start_it = 0
-    if save_interval and logger.get_dir():
+    if save_interval and logger.get_dir() and load_path is None:
         from baselines_tpu.core.checkpoint import (
             latest_checkpoint,
             load_state,

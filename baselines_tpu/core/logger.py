@@ -17,6 +17,7 @@ group.
 
 from __future__ import annotations
 
+import csv
 import datetime
 import json
 import os
@@ -75,21 +76,22 @@ class HumanOutputFormat(KVWriter, SeqWriter):
             self.file = filename_or_file
             self.own_file = False
 
+    @staticmethod
+    def _cell(v):
+        return f"{v:<8.3g}" if hasattr(v, "__float__") else str(v)
+
     def writekvs(self, kvs):
-        key2str = {}
-        for key, val in sorted(kvs.items()):
-            valstr = f"{val:<8.3g}" if hasattr(val, "__float__") else str(val)
-            key2str[self._truncate(key)] = self._truncate(valstr)
-        if not key2str:
+        cells = [
+            (self._truncate(k), self._truncate(self._cell(v)))
+            for k, v in sorted(kvs.items(), key=lambda kv: kv[0].lower())
+        ]
+        if not cells:
             return
-        keywidth = max(map(len, key2str.keys()))
-        valwidth = max(map(len, key2str.values()))
-        dashes = "-" * (keywidth + valwidth + 7)
-        lines = [dashes]
-        for key, val in sorted(key2str.items(), key=lambda kv: kv[0].lower()):
-            lines.append(f"| {key}{' ' * (keywidth - len(key))} | {val}{' ' * (valwidth - len(val))} |")
-        lines.append(dashes)
-        self.file.write("\n".join(lines) + "\n")
+        kw = max(len(k) for k, _ in cells)
+        vw = max(len(v) for _, v in cells)
+        rule = "-" * (kw + vw + 7)  # 7 = the "| " / " | " / " |" framing
+        body = "".join(f"| {k.ljust(kw)} | {v.ljust(vw)} |\n" for k, v in cells)
+        self.file.write(f"{rule}\n{body}{rule}\n")
         self.file.flush()
 
     @staticmethod
@@ -123,31 +125,33 @@ class JSONOutputFormat(KVWriter):
 
 
 class CSVOutputFormat(KVWriter):
-    """CSV that rewrites the file when a new column appears
-    (logger.py:94-136)."""
+    """CSV with a grow-only column set (the progress.csv contract of
+    logger.py:94-136: late-appearing metrics get a column, earlier rows get
+    blanks).  Rather than line-surgery on the open file, rows are cached as
+    dicts and the file is re-emitted through csv.DictWriter whenever the
+    header grows — one rewrite per new metric, correct quoting for free,
+    plain appends at steady state."""
 
     def __init__(self, filename):
-        self.file = open(filename, "w+t")
-        self.keys = []
-        self.sep = ","
+        self.filename = filename
+        self.file = open(filename, "wt", newline="")
+        self.keys: list[str] = []
+        self.rows: list[dict] = []
+        self.writer = None
 
     def writekvs(self, kvs):
-        extra_keys = list(kvs.keys() - self.keys)
-        extra_keys.sort()
-        if extra_keys:
-            self.keys.extend(extra_keys)
-            self.file.seek(0)
-            lines = self.file.readlines()
-            self.file.seek(0)
-            self.file.truncate()
-            self.file.write(self.sep.join(self.keys) + "\n")
-            for line in lines[1:]:
-                self.file.write(line.rstrip("\n") + self.sep * len(extra_keys) + "\n")
-        row = []
-        for k in self.keys:
-            v = kvs.get(k)
-            row.append("" if v is None else str(v))
-        self.file.write(self.sep.join(row) + "\n")
+        row = {k: ("" if v is None else v) for k, v in kvs.items()}
+        self.rows.append(row)
+        fresh = sorted(set(row) - set(self.keys))
+        if fresh:
+            self.keys += fresh
+            self.file.close()
+            self.file = open(self.filename, "wt", newline="")
+            self.writer = csv.DictWriter(self.file, fieldnames=self.keys, restval="")
+            self.writer.writeheader()
+            self.writer.writerows(self.rows)
+        else:
+            self.writer.writerow(row)
         self.file.flush()
 
     def close(self):

@@ -48,8 +48,16 @@ def train(args, extra_args):
     s2d = int(alg_kwargs.pop("s2d", 0) or 0)
     if s2d:
         env_kwargs["s2d"] = s2d
-        if alg_kwargs.get("network") == "cnn":
+        net = alg_kwargs.get("network")
+        if net == "cnn":
             alg_kwargs["network"] = "cnn_s2d"
+        elif net != "cnn_s2d":
+            # any other conv net would stay shape-legal on the packed
+            # 21x21x64 obs and silently train on semantically scrambled
+            # input — only cnn_s2d's conv1 is weight-matched to the packing
+            raise ValueError(
+                f"--s2d only pairs with network=cnn/cnn_s2d, got {net!r}"
+            )
     if args.reward_scale != 1.0:
         env_kwargs["reward_scale"] = args.reward_scale
     if args.save_video_interval:

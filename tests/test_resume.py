@@ -77,3 +77,33 @@ def test_trpo_resume_reproduces_uninterrupted_run(tmp_path):
     assert int(resumed.state.iters) == 4
     for a, b in zip(_leaves(full.state.params), _leaves(resumed.state.params)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_explicit_load_path_beats_auto_resume(tmp_path):
+    """ADVICE r3: a user's --load_path must not be overridden by stale
+    checkpoints/ lying in the log dir from a prior run."""
+    from baselines_tpu.algos.ppo import ppo
+
+    kwargs = dict(
+        env_id="CartPole-v1", network="mlp", total_timesteps=2 * 8 * 64,
+        seed=0, num_envs=8, nsteps=64, nminibatches=2, noptepochs=2,
+        save_interval=1, log_interval=100,
+    )
+    # a prior run leaves checkpoints in the log dir
+    _, logdir = _run(ppo.learn, tmp_path, "prior", **kwargs)
+    stale = os.path.join(logdir, "checkpoints", "00002")
+    assert os.path.exists(stale)
+    # save an explicit model checkpoint from a DIFFERENT seed
+    other, _ = _run(ppo.learn, tmp_path, "other", **{**kwargs, "seed": 1, "save_interval": 0})
+    explicit = str(tmp_path / "explicit.ckpt")
+    other.save(explicit)
+
+    # run with BOTH a stale-checkpoint log dir and an explicit load_path:
+    # training must start from the explicit checkpoint at update 0, not
+    # resume the stale one at update 2
+    logger.configure(dir=logdir, format_strs=[])
+    resumed = ppo.learn(load_path=explicit, **{**kwargs, "total_timesteps": 0})
+    logger.reset()
+    assert int(resumed.state.update_idx) == 0
+    for a, b in zip(_leaves(other.state.params), _leaves(resumed.state.params)):
+        np.testing.assert_array_equal(a, b)
