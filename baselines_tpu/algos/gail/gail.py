@@ -77,6 +77,7 @@ def learn(
     vf_stepsize: float = 3e-4,
     vf_iters: int = 3,
     d_stepsize: float = 3e-4,
+    g_step: int = 3,
     d_step: int = 1,
     adversary_hidden_size: int = 100,
     adversary_entcoeff: float = 1e-3,
@@ -101,7 +102,21 @@ def learn(
             expert_path=expert_path, traj_limitation=traj_limitation
         )
     assert expert_dataset is not None, "GAIL requires an expert_dataset (or expert_path)"
-    venv = env if env is not None else build_env(env_id, num_envs, **(env_kwargs or {}))
+    # RAW observations by default, reference parity: gail/run_mujoco.py
+    # trains on plain gym envs (no VecNormalize); the discriminator gets raw
+    # obs (trpo_mpi.py:317-326) and normalizes them with its own obs_rms
+    # (adversary.py).  Measured failure mode of a VecNormalize'd env: the
+    # de-normalized reconstruction of generator obs carries stat-drift
+    # artifacts in early iterations, the discriminator separates on those
+    # (acc ~0.99 within 30 iters) and the race never recovers (EpTrueRew
+    # -1600 at 3M steps), while the raw config keeps accs at a healthy
+    # 0.6-0.8.  BC on raw obs reaches 97% of the expert score, so the
+    # policy does not need obs normalization here.  Passing a normalized
+    # env explicitly still works — update_fn then reconstructs raw obs for
+    # the discriminator from the env's running statistics.
+    env_kwargs = dict(env_kwargs or {})
+    env_kwargs.setdefault("normalize", False)
+    venv = env if env is not None else build_env(env_id, num_envs, **env_kwargs)
     nenvs = venv.num_envs
     nsteps = max(timesteps_per_batch // nenvs, 1)
     nbatch = nsteps * nenvs
@@ -153,8 +168,20 @@ def learn(
                 jnp.asarray(venv.action_space.high),
             )
 
+        # the discriminator compares against RAW expert obs, so undo the
+        # env's VecNormalize transform on the generator rollout (end-of-
+        # rollout statistics; within-rollout drift is negligible after the
+        # first few iterations, and the disc's own obs_rms absorbs scale)
+        from baselines_tpu.envs.vec import find_normalize_state
+
+        ns = find_normalize_state(env_state)
+        if ns is not None:
+            disc_ob = ob * jnp.sqrt(ns.ob_rms.var + 1e-8) + ns.ob_rms.mean
+        else:
+            disc_ob = ob
+
         # adversary reward replaces env reward (gail/trpo_mpi.py)
-        adv_rew = adversary_reward(disc, state.d_params, state.d_obs_rms, ob, ac2)
+        adv_rew = adversary_reward(disc, state.d_params, state.d_obs_rms, disc_ob, ac2)
         rewards = adv_rew.reshape(nsteps, nenvs)
         advs, tdlamret = gae(
             rewards, traj.values, traj.dones, last_value, gamma, lam
@@ -211,6 +238,10 @@ def learn(
         any_ok = jnp.any(oks)
         th_final = jnp.where(any_ok, th_news[jnp.argmax(oks)], th_before)
         pol_params = unflatten_like(th_final, pol_params)
+        # post-step diagnostics (the reference logs surr/kl AFTER the line
+        # search, trpo_mpi.py:281-284; the pre-step values are ~0 by
+        # construction and say nothing)
+        gain_after, kl_after = losses_fn(pol_params)
 
         # vf fit
         mbsize = 64
@@ -239,32 +270,58 @@ def learn(
             vf_epoch, (vf_params, state.vf_opt), jnp.stack(ekeys)
         )
 
-        # discriminator updates (d_step per iteration)
-        d_obs_rms = state.d_obs_rms.update(ob.astype(jnp.float32))
+        # discriminator round: the reference interleaves g_step policy
+        # updates per ONE discriminator round (trpo_mpi.py:245,313-326) — a
+        # 1:1 cadence over-trains the discriminator to saturation and kills
+        # the reward signal (observed: d_acc ~0.99 and no policy motion).
+        # Gate the round on the iteration counter; its obs_rms sees BOTH
+        # classes (trpo_mpi.py:323 updates with concat(gen, expert)).
+        def d_round(args):
+            d_params, d_opt, d_obs_rms = args
+            d_obs_rms = d_obs_rms.update(
+                jnp.concatenate(
+                    [disc_ob.astype(jnp.float32), exp_obs.astype(jnp.float32)], 0
+                )
+            )
 
-        def d_update(carry, _):
-            d_params, d_opt = carry
-            (loss, accs), grads = jax.value_and_grad(
-                lambda dp: adversary_loss(
-                    disc, dp, d_obs_rms, ob.astype(jnp.float32), ac2,
-                    exp_obs.astype(jnp.float32), exp_acs, adversary_entcoeff,
-                ),
-                has_aux=True,
-            )(d_params)
-            updates, d_opt = d_tx.update(grads, d_opt, d_params)
-            return (optax.apply_updates(d_params, updates), d_opt), accs
+            def d_update(carry, _):
+                d_params, d_opt = carry
+                (loss, accs), grads = jax.value_and_grad(
+                    lambda dp: adversary_loss(
+                        disc, dp, d_obs_rms, disc_ob.astype(jnp.float32), ac2,
+                        exp_obs.astype(jnp.float32), exp_acs, adversary_entcoeff,
+                    ),
+                    has_aux=True,
+                )(d_params)
+                updates, d_opt = d_tx.update(grads, d_opt, d_params)
+                return (optax.apply_updates(d_params, updates), d_opt), accs
 
-        (d_params, d_opt), accs = jax.lax.scan(
-            d_update, (state.d_params, state.d_opt), None, length=d_step
+            (d_params, d_opt), accs = jax.lax.scan(
+                d_update, (d_params, d_opt), None, length=d_step
+            )
+            mean_accs = jax.tree_util.tree_map(jnp.mean, accs)
+            return d_params, d_opt, d_obs_rms, mean_accs
+
+        def d_skip(args):
+            d_params, d_opt, d_obs_rms = args
+            return d_params, d_opt, d_obs_rms, {
+                "gen_acc": jnp.float32(jnp.nan), "exp_acc": jnp.float32(jnp.nan)
+            }
+
+        d_params, d_opt, d_obs_rms, accs = jax.lax.cond(
+            (state.iters + 1) % g_step == 0,
+            d_round,
+            d_skip,
+            (state.d_params, state.d_opt, state.d_obs_rms),
         )
 
         metrics = {
-            "optimgain": gain0,
-            "meankl": kl0,
+            "optimgain": gain_after,
+            "meankl": kl_after,
             "adversary_reward_mean": jnp.mean(adv_rew),
             "true_reward_mean": jnp.mean(traj.rewards),
-            "d_gen_acc": jnp.mean(accs["gen_acc"]),
-            "d_exp_acc": jnp.mean(accs["exp_acc"]),
+            "d_gen_acc": accs["gen_acc"],
+            "d_exp_acc": accs["exp_acc"],
             "linesearch_success": any_ok.astype(jnp.float32),
         }
         new_state = GAILTrainState(

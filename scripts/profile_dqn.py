@@ -1,11 +1,16 @@
-"""Decompose the DQN chunked update's per-iteration cost on the chip.
+"""Steady-state DQN throughput decomposition on the chip (VERDICT r3 weak #5/#9).
 
-Ablations: full config / uniform replay / no-train (env+buffer only) /
-small buffer — isolates whether the cost is the train step, the
-prioritized machinery, or replay-buffer HBM traffic (donation failures
-copy the whole multi-GB buffer every iteration).
+Methodology (the only trustworthy one on the tunneled axon backend —
+results/perf/ANALYSIS_r3.md): everything in ONE process, and each
+configuration timed as the DIFFERENCE between a 24-chunk and a 12-chunk
+`learn()` call after both programs are jit-cached, which cancels compile,
+env construction, and init — leaving 12 pure steady-state chunks.
 
-python scripts/profile_dqn.py [--envs 64] [--buffer 50000] [--chunk 64]
+Ablations isolate where the iteration goes: prioritized vs uniform replay,
+train vs env-only, buffer size, and env-count scaling (the per-iteration
+latency floor amortizes over envs).
+
+python scripts/profile_dqn.py [--buffer 50000] [--chunk 64]
 """
 
 import argparse
@@ -21,30 +26,19 @@ import jax
 
 if _os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-import jax.numpy as jnp
 
 
-def run(tag, *, envs, buffer_size, chunk, prioritized, train, s2d=4):
+def one_learn(nchunks, *, envs, buffer_size, chunk, prioritized, train, s2d=4):
     from baselines_tpu.algos.dqn import dqn
     from baselines_tpu.core import logger
 
     logger.configure(format_strs=[])
-    # build the learner's machinery without the outer loop by calling learn
-    # for 0 steps is awkward; instead replicate the hot path via learn with
-    # a tiny total and time additional chunks through the jitted update.
-    import baselines_tpu.algos.dqn.dqn as M
-
-    model_holder = {}
-
-    # monkeypatch-free approach: drive learn for exactly 2 chunks and time
-    # the second onward using the CLI-equivalent kwargs
     t0 = time.perf_counter()
-    steps = envs * chunk * 12
     model = dqn.learn(
         env_id="AtariSim-v0",
         env_kwargs={"s2d": s2d} if s2d else None,
         network="cnn_s2d" if s2d else "cnn",
-        total_timesteps=steps,
+        total_timesteps=envs * chunk * nchunks,
         seed=0,
         num_envs=envs,
         buffer_size=buffer_size,
@@ -59,30 +53,42 @@ def run(tag, *, envs, buffer_size, chunk, prioritized, train, s2d=4):
         print_freq=0,
         checkpoint_freq=None,
     )
-    jax.block_until_ready(jax.device_get(jax.tree_util.tree_leaves(model.state.params)[0]))
-    dt = time.perf_counter() - t0
-    per_iter = dt / (steps / envs)
+    float(jax.device_get(jax.tree_util.tree_leaves(model.state.params)[0].ravel()[0]))
+    logger.reset()
+    return time.perf_counter() - t0
+
+
+def run(tag, **kw):
+    one_learn(12, **kw)  # compile + fill jit cache
+    # the tunnel service stalls individual executions for seconds at random;
+    # min-of-3 on each leg before differencing is stall-robust
+    t12 = min(one_learn(12, **kw) for _ in range(3))
+    t24 = min(one_learn(24, **kw) for _ in range(3))
+    envs, chunk = kw["envs"], kw["chunk"]
+    iters = 12 * chunk
+    per_iter = (t24 - t12) / iters
     print(
-        f"{tag:34s} {dt:6.1f}s total -> {per_iter * 1e3:7.2f} ms/iter "
-        f"({steps / dt:,.0f} env-steps/s incl compile)",
+        f"{tag:42s} {per_iter * 1e3:6.2f} ms/iter = {envs / per_iter:,.0f} env-steps/s steady",
         flush=True,
     )
+    return per_iter
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--buffer", type=int, default=50000)
     ap.add_argument("--chunk", type=int, default=64)
     args = ap.parse_args()
-    run("full (prioritized+train)", envs=args.envs, buffer_size=args.buffer,
-        chunk=args.chunk, prioritized=True, train=True)
-    run("uniform replay + train", envs=args.envs, buffer_size=args.buffer,
-        chunk=args.chunk, prioritized=False, train=True)
-    run("no train (env+buffer add only)", envs=args.envs, buffer_size=args.buffer,
-        chunk=args.chunk, prioritized=True, train=False)
-    run("full, buffer 5k", envs=args.envs, buffer_size=5000,
-        chunk=args.chunk, prioritized=True, train=True)
+    base = dict(envs=64, buffer_size=args.buffer, chunk=args.chunk)
+    run("full 64 envs (prioritized+dueling+double)", **base, prioritized=True, train=True)
+    run("uniform replay + train", **base, prioritized=False, train=True)
+    run("no train (env+buffer add only)", **base, prioritized=True, train=False)
+    run("full, buffer 5k", envs=64, buffer_size=5000, chunk=args.chunk,
+        prioritized=True, train=True)
+    run("full 128 envs", envs=128, buffer_size=args.buffer, chunk=args.chunk,
+        prioritized=True, train=True)
+    run("full 256 envs", envs=256, buffer_size=args.buffer, chunk=args.chunk,
+        prioritized=True, train=True)
 
 
 if __name__ == "__main__":
