@@ -181,6 +181,7 @@ def learn(
     checkpoint_path: str | None = None,
     load_path: str | None = None,
     mesh=None,
+    chunk_timing: list | None = None,
     **network_kwargs,
 ) -> Model:
     """deepq.learn analog (deepq/deepq.py:95-332 signature/defaults)."""
@@ -445,6 +446,13 @@ def learn(
     tstart = time.time()
     for chunk in range(1, nchunks + 1):
         state = update_fn(state)
+        if chunk_timing is not None:
+            # profiling hook: hard-sync and record an absolute timestamp per
+            # chunk; consumers diff them (scripts/profile_dqn.py — on the
+            # tunneled backend only in-process per-chunk medians are
+            # trustworthy)
+            float(jax.device_get(state.t.astype(jnp.float32)))
+            chunk_timing.append(time.time())
         if latest_file is not None and checkpoint_freq:
             t_now = int(state.t)
             marker = t_now // checkpoint_freq

@@ -28,13 +28,15 @@ if _os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
 
-def one_learn(nchunks, *, envs, buffer_size, chunk, prioritized, train, s2d=4):
+def one_learn(nchunks, *, envs, buffer_size, chunk, prioritized, train, s2d=4,
+              chunk_timing=None):
     from baselines_tpu.algos.dqn import dqn
     from baselines_tpu.core import logger
 
     logger.configure(format_strs=[])
     t0 = time.perf_counter()
     model = dqn.learn(
+        chunk_timing=chunk_timing,
         env_id="AtariSim-v0",
         env_kwargs={"s2d": s2d} if s2d else None,
         network="cnn_s2d" if s2d else "cnn",
@@ -59,14 +61,15 @@ def one_learn(nchunks, *, envs, buffer_size, chunk, prioritized, train, s2d=4):
 
 
 def run(tag, **kw):
-    one_learn(12, **kw)  # compile + fill jit cache
-    # the tunnel service stalls individual executions for seconds at random;
-    # min-of-3 on each leg before differencing is stall-robust
-    t12 = min(one_learn(12, **kw) for _ in range(3))
-    t24 = min(one_learn(24, **kw) for _ in range(3))
-    envs, chunk = kw["envs"], kw["chunk"]
-    iters = 12 * chunk
-    per_iter = (t24 - t12) / iters
+    import statistics
+
+    times = []
+    one_learn(30, **kw, chunk_timing=times)
+    # per-chunk medians, first chunk (compile) excluded — the only
+    # stall-robust in-process methodology on this backend
+    deltas = [b - a for a, b in zip(times[1:], times[2:])]
+    per_iter = statistics.median(deltas) / kw["chunk"]
+    envs = kw["envs"]
     print(
         f"{tag:42s} {per_iter * 1e3:6.2f} ms/iter = {envs / per_iter:,.0f} env-steps/s steady",
         flush=True,
