@@ -106,9 +106,15 @@ def main(argv=None):
 
     if args.play:
         logger.log("Running trained model")
+        # normalize the play env ONLY when the model carries trained
+        # VecNormalize statistics (evaluate injects them); a model trained on
+        # raw obs (e.g. gail, run.py:222-244 analog) must not be fed
+        # cold-statistics-normalized observations
+        has_norm = getattr(model, "_normalize_state", lambda: None)() is not None
         venv = build_env(
             args.env,
             num_envs=1,
+            normalize=has_norm,
             frame_stack=int(extra_args.get("frame_stack", 0) or 0),
             s2d=int(extra_args.get("s2d", 0) or 0),
             keep_dict_obs=args.alg == "her",  # goal policies consume dict obs
