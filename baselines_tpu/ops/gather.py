@@ -1,18 +1,29 @@
-"""Pallas TPU kernel: permuted row gather at HBM streaming bandwidth.
+"""Permuted row gather for the epoch shuffle (ppo2/ppo2.py:160-165 analog).
 
-`out[i] = x[idx[i]]` for large fixed-size rows — the hot op of ppo2's
-per-epoch minibatch shuffle (ppo2/ppo2.py:160-165: `np.random.shuffle(inds)`
-then fancy-indexing the flattened rollout).  XLA lowers the uint8 obs-batch
-gather to an element-granularity loop that round-3 profiling measured at
-~20% of v5e HBM peak (results/perf/ANALYSIS_r3.md §5).  The rows are 28 KB
-contiguous byte ranges, so the speed-of-light implementation is pure data
-movement: one DMA per row, HBM -> HBM, with a ring of K outstanding copies
-so the DMA engine always has work in flight.  No VMEM round-trip, no tiling
-constraint (DMA is byte-oriented; only compute blocks care about (32,128)
-u8 tiles — and this kernel computes nothing).
+Production path: ``take_rows_fast`` — XLA gather through the widest element
+view available (measured fastest formulation on this chip).
 
-The row indices ride in as a scalar-prefetch operand (SMEM), read one
-scalar per iteration to program the next DMA's source slice.
+The Pallas route (``take_rows``) was fully explored on-chip in round 4 and
+is NOT the production path; findings, so the next round doesn't re-walk
+this (all measured 2026-08-21, scripts/profile_gather.py + ad-hoc bisects):
+
+- The speed-of-light design — one HBM->HBM DMA per row with a ring of K
+  outstanding copies — CRASHES this image's chipless AOT compiler
+  (remote_compile HTTP 500) for ANY sliced-destination HBM DMA: static or
+  dynamic index, rank-reducing ``.at[i]`` or rank-preserving ``pl.ds``,
+  u8 or f32, aligned or not.  Whole-ref HBM->HBM DMA compiles fine, and
+  HBM->VMEM sliced-source DMA compiles fine (data/pallas_sampler.py uses
+  it in production), so the trigger is specifically sliced HBM
+  destinations.
+- The canonical scalar-prefetch ``index_map`` formulation (the pipeline
+  issues one (1, R/128, 128) block DMA per grid step) compiles and runs
+  correctly at 100.8 GB/s — but XLA's own gather does 124 GB/s on the
+  same rows, so the kernel loses to per-grid-step overhead at 16K steps
+  and cannot batch scattered sources into bigger blocks.
+
+``take_rows`` therefore keeps the ring-DMA kernel for interpreter-mode
+correctness (tests/test_pallas_sampler.py pattern) and falls back to XLA
+everywhere it matters.
 """
 
 from __future__ import annotations
@@ -90,8 +101,10 @@ def take_rows(x: jax.Array, idx: jax.Array, *, interpret: bool = False) -> jax.A
     assert idx.ndim == 1, idx.shape
     n = int(idx.shape[0])
     row_bytes = int(np.prod(x.shape[1:])) * x.dtype.itemsize
-    on_tpu = jax.default_backend() == "tpu"
-    if not (on_tpu or interpret) or n < K_INFLIGHT or row_bytes < 4096:
+    # compiled TPU execution is DISABLED: sliced-HBM-destination DMA crashes
+    # this image's AOT compiler (module docstring) — the kernel exists for
+    # interpreter-mode correctness and for toolchains where it compiles
+    if not interpret or n < K_INFLIGHT or row_bytes < 4096:
         return x[idx]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -71,15 +71,9 @@ def main():
 
     report("xla_u32", timeit(jax.jit(u32_gather), x, perm))
 
-    from baselines_tpu.ops.gather import take_rows
-
-    pall = jax.jit(lambda x, p: take_rows(x, p))
-    report("pallas_dma", timeit(pall, x, perm))
-    # correctness
-    want = np.asarray(jax.device_get(x))[np.asarray(perm)]
-    got = np.asarray(jax.device_get(pall(x, perm)))
-    assert np.array_equal(want, got), "pallas gather mismatch"
-    print("pallas gather matches x[perm]")
+    # the pallas DMA route is disabled on this image's toolchain
+    # (ops/gather.py module docstring records the full bisect); the
+    # production path is take_rows_fast, measured as xla_u32 above
 
 
 if __name__ == "__main__":
