@@ -117,6 +117,16 @@ def learn(
     env_kwargs = dict(env_kwargs or {})
     env_kwargs.setdefault("normalize", False)
     venv = env if env is not None else build_env(env_id, num_envs, **env_kwargs)
+    # locate a VecNormalize in the wrapper chain (if the caller passed a
+    # normalized env) so the raw-obs reconstruction uses ITS epsilon/clipob
+    from baselines_tpu.envs.vec import VecNormalize as _VecNormalize
+
+    norm_wrapper, _w = None, venv
+    while _w is not None:
+        if isinstance(_w, _VecNormalize):
+            norm_wrapper = _w
+            break
+        _w = getattr(_w, "venv", None)
     nenvs = venv.num_envs
     nsteps = max(timesteps_per_batch // nenvs, 1)
     nbatch = nsteps * nenvs
@@ -171,12 +181,17 @@ def learn(
         # the discriminator compares against RAW expert obs, so undo the
         # env's VecNormalize transform on the generator rollout (end-of-
         # rollout statistics; within-rollout drift is negligible after the
-        # first few iterations, and the disc's own obs_rms absorbs scale)
+        # first few iterations, and the disc's own obs_rms absorbs scale).
+        # epsilon comes from the actual wrapper, not an assumed default;
+        # the clipob clamp is NOT invertible — obs that saturated ±clipob
+        # reconstruct to the clip boundary's raw value (the disc's own
+        # obs_rms absorbs the residual; exact only within ±clipob)
         from baselines_tpu.envs.vec import find_normalize_state
 
         ns = find_normalize_state(env_state)
         if ns is not None:
-            disc_ob = ob * jnp.sqrt(ns.ob_rms.var + 1e-8) + ns.ob_rms.mean
+            eps = norm_wrapper.epsilon if norm_wrapper is not None else 1e-8
+            disc_ob = ob * jnp.sqrt(ns.ob_rms.var + eps) + ns.ob_rms.mean
         else:
             disc_ob = ob
 
@@ -303,9 +318,12 @@ def learn(
             return d_params, d_opt, d_obs_rms, mean_accs
 
         def d_skip(args):
+            # explicit sentinel (not NaN): (g_step-1)/g_step of iterations
+            # skip the discriminator round, and NaN accs would poison any
+            # downstream mean/plot over progress.csv's d_*_acc columns
             d_params, d_opt, d_obs_rms = args
             return d_params, d_opt, d_obs_rms, {
-                "gen_acc": jnp.float32(jnp.nan), "exp_acc": jnp.float32(jnp.nan)
+                "gen_acc": jnp.float32(-1.0), "exp_acc": jnp.float32(-1.0)
             }
 
         d_params, d_opt, d_obs_rms, accs = jax.lax.cond(

@@ -127,31 +127,32 @@ class JSONOutputFormat(KVWriter):
 class CSVOutputFormat(KVWriter):
     """CSV with a grow-only column set (the progress.csv contract of
     logger.py:94-136: late-appearing metrics get a column, earlier rows get
-    blanks).  Rather than line-surgery on the open file, rows are cached as
-    dicts and the file is re-emitted through csv.DictWriter whenever the
-    header grows — one rewrite per new metric, correct quoting for free,
-    plain appends at steady state."""
+    blanks).  When the header grows, the existing rows are re-read from the
+    file (csv.DictReader) and re-emitted with the widened header — one
+    rewrite per new metric, correct quoting for free, plain appends and
+    O(1) memory at steady state (nothing cached for the life of a long
+    run with frequent dumpkvs)."""
 
     def __init__(self, filename):
         self.filename = filename
         self.file = open(filename, "wt", newline="")
         self.keys: list[str] = []
-        self.rows: list[dict] = []
         self.writer = None
 
     def writekvs(self, kvs):
         row = {k: ("" if v is None else v) for k, v in kvs.items()}
-        self.rows.append(row)
         fresh = sorted(set(row) - set(self.keys))
         if fresh:
+            self.file.flush()
+            with open(self.filename, "rt", newline="") as f:
+                old_rows = list(csv.DictReader(f))
             self.keys += fresh
             self.file.close()
             self.file = open(self.filename, "wt", newline="")
             self.writer = csv.DictWriter(self.file, fieldnames=self.keys, restval="")
             self.writer.writeheader()
-            self.writer.writerows(self.rows)
-        else:
-            self.writer.writerow(row)
+            self.writer.writerows(old_rows)
+        self.writer.writerow(row)
         self.file.flush()
 
     def close(self):

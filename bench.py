@@ -345,6 +345,12 @@ def main(full=False):
                 "value": round(primary["fps"], 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                # denominator provenance travels with the number: the
+                # reference publishes no throughput figures (BASELINE.json
+                # "published": {}), so the ratio is vs this project's OWN
+                # round-1 driver capture of the same metric, across config
+                # tuning (r1: 64-env f32 unpacked eager-init)
+                "baseline": f"round1_self_capture_{R1_CAPTURED_FPS:.0f}_fps",
             }
         ),
         flush=True,
