@@ -56,3 +56,40 @@ def test_run_smoke(argv):
 
     model = main(argv)
     assert model is not None
+
+
+def test_play_normalization_follows_model_stats(monkeypatch):
+    """--play builds the eval env normalized ONLY when the model carries
+    trained VecNormalize statistics (run.py play branch).  The raw-obs
+    branch is load-bearing for every --play-derived GAIL number: a raw-obs
+    policy fed cold-statistics-normalized observations scores garbage
+    (a 4262-score model evaluated at -983 before the fix)."""
+    import baselines_tpu.run as run_mod
+
+    calls = []
+    real_build_env = run_mod.build_env
+
+    def recording_build_env(*a, **kw):
+        calls.append(kw)
+        return real_build_env(*a, **kw)
+
+    monkeypatch.setattr(run_mod, "build_env", recording_build_env)
+
+    # raw-obs model: classic control trains WITHOUT VecNormalize
+    run_mod.main([
+        "--alg=ppo2", "--env=CartPole-v1", "--num_timesteps=128",
+        "--nsteps=32", "--num_env=4", "--nminibatches=2", "--noptepochs=1",
+        "--log_interval=1000", "--play",
+    ])
+    assert calls, "--play never reached build_env"
+    assert calls[-1]["normalize"] is False
+
+    calls.clear()
+    # VecNormalize-trained model: mujoco env_type normalizes by default
+    run_mod.main([
+        "--alg=ppo2", "--env=Reacher-v4", "--num_timesteps=128",
+        "--nsteps=32", "--num_env=4", "--nminibatches=2", "--noptepochs=1",
+        "--log_interval=1000", "--play",
+    ])
+    assert calls
+    assert calls[-1]["normalize"] is True
