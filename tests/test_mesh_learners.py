@@ -158,3 +158,37 @@ def test_ppo_mesh_still_learns():
     venv = build_env("DiscreteIdentity-v0", 8)
     ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(1), nsteps=300)
     assert ret > 90, f"ppo mesh identity mean return {ret}"
+
+
+def test_ppo_lstm_mesh_still_learns():
+    """Recurrent PPO on the mesh (VERDICT r4 item 9): the shard-local epoch
+    shuffle must stay TRAJECTORY-ALIGNED for lstm policies — minibatches are
+    whole envs (ppo2/ppo2.py:167-180 semantics), so each dp shard permutes
+    its own envs and every minibatch takes envs_per_mb/ndev envs per shard.
+    Gate: FixedSequence learning (reference test_fixed_sequence.py:16-47
+    ladder), 16 envs / 2 minibatches over 8 shards so the per-shard env
+    gather path is actually exercised."""
+    from baselines_tpu.algos.common import build_env, evaluate
+    from baselines_tpu.algos.ppo.ppo import learn
+
+    mesh = make_mesh()
+    model = learn(
+        env_id="FixedSequence-v0",
+        network="lstm",
+        nlstm=32,
+        total_timesteps=50_000,
+        seed=0,
+        num_envs=16,
+        nsteps=10,
+        nminibatches=2,
+        noptepochs=4,
+        lr=1e-3,
+        ent_coef=0.0,
+        log_interval=5,  # bound the dispatch queue (see note above)
+        mesh=mesh,
+    )
+    venv = build_env("FixedSequence-v0", 8)
+    ret, _, _ = evaluate(
+        model, venv, jax.random.PRNGKey(1), nsteps=100, deterministic=True
+    )
+    assert ret > 3.5, f"mesh lstm fixed-sequence mean return {ret} (want >3.5 of 5)"
