@@ -130,11 +130,17 @@ def main():
     )
 
     def shuffle4(key, flat):
+        # consume EVERY gathered element: the round-4 version summed
+        # x[perm][:1], which let XLA slice-of-gather away all but one row —
+        # the "39.4 ms" it printed measured almost nothing (r5 ledger)
         def epoch(c, ekey):
             perm = jax.random.permutation(ekey, nbatch)
-            return c, jax.tree_util.tree_map(lambda x: jnp.sum(x[perm][:1].astype(jnp.float32)), flat)
-        _, outs = jax.lax.scan(epoch, 0, jax.random.split(key, 4))
-        return outs
+            s = jax.tree_util.tree_map(
+                lambda x: jnp.sum(x[perm].astype(jnp.float32)), flat
+            )
+            return c + sum(jax.tree_util.tree_leaves(s)), None
+        c, _ = jax.lax.scan(epoch, jnp.float32(0), jax.random.split(key, 4))
+        return c
 
     results["shuffle_x4"] = bench_fn(shuffle4, (s["key"], flat), iters, "epoch perm-gather x4 (all fields)")
 
