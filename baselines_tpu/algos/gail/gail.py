@@ -55,6 +55,113 @@ def _flat01(x):
     return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
 
 
+class _ObsNormPolicy:
+    """The reference GAIL policy's observation filter
+    (gail/mlp_policy.py:34-42: obz = clip((ob - rms.mean)/rms.std, ±5)
+    before the net, rms updated with each rollout's raw observations).
+
+    Round-5 finding: WITHOUT this filter, from-scratch GAIL on HalfCheetah
+    gets stuck in a backward-running equilibrium (EpTrueRew ~ -700..-1300,
+    healthy disc accs 0.8-0.9, line-search KL ~0.005 — the raw-obs tanh
+    policy is too badly conditioned for TRPO steps to reorganize the gait;
+    3 seeds, results/gail_weak/).  The filter lives INSIDE the policy (not
+    a VecNormalize wrapper) so the discriminator keeps seeing true raw
+    observations with no reconstruction drift.
+
+    Params are {"pi": <inner flax tree>, "ob_rms": RunningMeanStd} so the
+    whole thing checkpoints through the standard Model.save payload."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.pdtype = inner.pdtype
+        self.is_recurrent = inner.is_recurrent
+        self.ob_space = inner.ob_space
+        self.ac_space = inner.ac_space
+
+    def initial_state(self, batch_size):
+        return self._inner.initial_state(batch_size)
+
+    def init(self, key, sample_obs):
+        return {
+            "pi": self._inner.init(key, sample_obs),
+            "ob_rms": RunningMeanStd.create(sample_obs.shape[1:]),
+        }
+
+    def _norm(self, params, obs):
+        rms = jax.lax.stop_gradient(params["ob_rms"])
+        return jnp.clip(
+            (obs - rms.mean) / jnp.sqrt(rms.var + 1e-8), -5.0, 5.0
+        )
+
+    def apply(self, params, obs, rnn_state=None, rnn_mask=None):
+        return self._inner.apply(
+            params["pi"], self._norm(params, obs), rnn_state, rnn_mask
+        )
+
+    def pd(self, params, obs, rnn_state=None, rnn_mask=None):
+        pdflat, vf, rnn_state = self.apply(params, obs, rnn_state, rnn_mask)
+        return self.pdtype.pdfromflat(pdflat), vf, rnn_state
+
+    def step(self, params, key, obs, rnn_state=None, rnn_mask=None):
+        pd, vf, rnn_state = self.pd(params, obs, rnn_state, rnn_mask)
+        action = pd.sample(key)
+        return action, vf, pd.neglogp(action), rnn_state
+
+    def mode_step(self, params, obs, rnn_state=None, rnn_mask=None):
+        pd, vf, rnn_state = self.pd(params, obs, rnn_state, rnn_mask)
+        return pd.mode(), vf, rnn_state
+
+    def value(self, params, obs, rnn_state=None, rnn_mask=None):
+        _, vf, _ = self.apply(params, obs, rnn_state, rnn_mask)
+        return vf
+
+
+class _GAILModel(Model):
+    """Model whose load() accepts round-4 GAIL checkpoints (bare policy
+    tree, no obfilter): a legacy payload swaps the policy back to the
+    unfiltered inner PolicyWithValue so committed round-4 artifacts
+    evaluate bit-identically.  Legacy checkpoints are eval-compatible
+    only — continuing training requires a current-format checkpoint."""
+
+    def load(self, path):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        mp = (
+            raw["model_params"]
+            if isinstance(raw, dict) and "model_params" in raw
+            else raw
+        )
+        legacy = (
+            isinstance(self.policy, _ObsNormPolicy)
+            and isinstance(mp, dict)
+            and "pi" not in mp
+        )
+        if legacy:
+            inner = self.policy._inner
+            tmpl = jax.device_get(self.params["pi"])
+            # round-4 mlp checkpoints predate the hid=100 default
+            # (run_mujoco.py:78 parity added in round 5): rebuild the inner
+            # policy at the checkpoint's own hidden width
+            try:
+                nh = int(mp["params"]["network"]["mlp_fc0"]["kernel"].shape[1])
+            except (KeyError, AttributeError, TypeError, IndexError):
+                nh = None
+            builder = self.extra.get("legacy_policy_builder")
+            if nh is not None and builder is not None:
+                inner = builder(nh)
+                obs0 = jnp.zeros(
+                    (1,) + tuple(self.policy.ob_space.shape), jnp.float32
+                )
+                tmpl = jax.device_get(inner.init(jax.random.PRNGKey(0), obs0))
+            params = serialization.from_state_dict(tmpl, mp)
+            self.policy = inner
+            self.state = self.state.replace(params=jax.device_put(params))
+            return self
+        return super().load(path)
+
+
 def learn(
     *,
     env=None,
@@ -74,8 +181,8 @@ def learn(
     lam: float = 0.97,
     ent_coef: float = 0.0,
     cg_damping: float = 0.1,
-    vf_stepsize: float = 3e-4,
-    vf_iters: int = 3,
+    vf_stepsize: float = 1e-3,
+    vf_iters: int = 5,
     d_stepsize: float = 3e-4,
     g_step: int = 3,
     d_step: int = 1,
@@ -83,6 +190,7 @@ def learn(
     adversary_entcoeff: float = 1e-3,
     pretrained: bool = False,
     bc_max_iters: int = 1000,
+    policy_obfilter: bool = True,
     fvp_subsample: int = 5,
     log_interval: int = 1,
     load_path: str | None = None,
@@ -132,10 +240,20 @@ def learn(
     nbatch = nsteps * nenvs
     niters = max(total_timesteps // nbatch, 1) if total_timesteps > 0 else 0
 
-    policy = build_policy(
+    if network == "mlp":
+        # gail/run_mujoco.py:78: policy_hidden_size=100, 2 layers
+        network_kwargs.setdefault("num_hidden", 100)
+    inner_policy = build_policy(
         venv.observation_space, venv.action_space, network,
         value_network="copy", **network_kwargs,
     )
+    policy = _ObsNormPolicy(inner_policy) if policy_obfilter else inner_policy
+
+    def net_tree(p):  # the flax tree split_params understands
+        return p["pi"] if policy_obfilter else p
+
+    def with_net(base, net):  # rebuild full params around a new flax tree
+        return dict(base, pi=net) if policy_obfilter else net
     disc = Discriminator(hidden_size=adversary_hidden_size)
 
     key = seed_key(seed)
@@ -149,15 +267,22 @@ def learn(
     )
     d_params = disc.init(kd, obs[:1].astype(jnp.float32), jnp.zeros((1, ac_dim)))
     if pretrained:
+        if policy_obfilter:
+            # behavior_clone runs through the same obfilter; seed its
+            # statistics from the expert observations it will consume
+            params = dict(
+                params, ob_rms=params["ob_rms"].update(expert_dataset.obs)
+            )
         key, kbc = jax.random.split(key)
         params = pretrain_bc(policy, params, expert_dataset, kbc, max_iters=bc_max_iters)
 
     vf_tx = optax.adam(vf_stepsize)
     d_tx = optax.adam(d_stepsize)
-    _, vf0 = split_params(params)
+    _, vf0 = split_params(net_tree(params))
 
-    def pd_of(pol_params, vf_params, o):
-        pdflat, vf, _ = policy.apply(merge_params(pol_params, vf_params), o)
+    def pd_of_with(base, pol_params, vf_params, o):
+        full = with_net(base, merge_params(pol_params, vf_params))
+        pdflat, vf, _ = policy.apply(full, o)
         return policy.pdtype.pdfromflat(pdflat), vf
 
     def update_fn(state: GAILTrainState, exp_obs, exp_acs):
@@ -206,8 +331,17 @@ def learn(
         old_neglogp = _flat01(traj.neglogps)
         atarg = (atarg - atarg.mean()) / (atarg.std() + 1e-8)
 
-        pol_params, vf_params = split_params(state.params)
-        old_pdflat, _, _ = policy.apply(state.params, ob)
+        # reference trpo_mpi.py: pi.ob_rms.update(ob) with the fresh raw
+        # rollout before computing the update; old and new pds share the
+        # updated filter so the KL measures only the parameter change
+        base_params = state.params
+        if policy_obfilter:
+            base_params = dict(
+                base_params, ob_rms=base_params["ob_rms"].update(ob)
+            )
+        pd_of = lambda p, v, o: pd_of_with(base_params, p, v, o)
+        pol_params, vf_params = split_params(net_tree(base_params))
+        old_pdflat, _, _ = policy.apply(base_params, ob)
         old_pdflat = jax.lax.stop_gradient(old_pdflat)
 
         def losses_fn(pp):
@@ -343,7 +477,7 @@ def learn(
             "linesearch_success": any_ok.astype(jnp.float32),
         }
         new_state = GAILTrainState(
-            params=merge_params(pol_params, vf_params),
+            params=with_net(base_params, merge_params(pol_params, vf_params)),
             vf_opt=vf_opt,
             d_params=d_params,
             d_opt=d_opt,
@@ -372,7 +506,23 @@ def learn(
     )
 
     update = jax.jit(update_fn, donate_argnums=0)
-    model = Model(policy, state)
+    model = _GAILModel(
+        policy,
+        state,
+        extra={
+            "legacy_policy_builder": (
+                (
+                    lambda nh: build_policy(
+                        venv.observation_space, venv.action_space, network,
+                        value_network="copy",
+                        **{**network_kwargs, "num_hidden": nh},
+                    )
+                )
+                if network == "mlp"
+                else None
+            )
+        },
+    )
     if load_path is not None:
         model.load(load_path)
         state = model.state

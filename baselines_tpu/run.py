@@ -30,7 +30,14 @@ def train(args, extra_args):
     learn = algos.get_learn_function(args.alg)
     alg_kwargs = dict(algos.get_defaults(args.alg, env_type))
     alg_kwargs.update(extra_args)
-    alg_kwargs.setdefault("network", args.network or _default_network(env_type))
+    if args.network:
+        # an explicit --network beats per-alg defaults (ref run.py:92-95:
+        # `if args.network: alg_kwargs['network'] = args.network`) — the
+        # old setdefault let e.g. acer's testing default (mlp) override a
+        # user-requested cnn
+        alg_kwargs["network"] = args.network
+    else:
+        alg_kwargs.setdefault("network", _default_network(env_type))
     if args.num_env:
         alg_kwargs["num_env"] = args.num_env
 
