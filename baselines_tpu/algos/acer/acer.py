@@ -166,30 +166,55 @@ def learn(
             f"is {kc}"
         )
         chunk_item["obs0"] = jnp.zeros(ob_shape, ob_dtype)
+        # frames are stored FLAT per chunk: a rank-5 uint8 buffer with a
+        # narrow (kc/k)-lane minor dim gathers at ~150 MB/s on a v5e (the
+        # 8x lane tile padding hits a pathological path — measured 73 ms
+        # vs 1.7 ms flat for the same bytes, ANALYSIS_r5.md §7); the flat
+        # 2D row layout gathers at memory speed and unflattens on the
+        # 64-chunk SAMPLE, not the multi-GB buffer
+        frames_shape = (nsteps,) + ob_shape[:-1] + (kc // dedup_frames,)
         chunk_item["frames"] = jnp.zeros(
-            (nsteps,) + ob_shape[:-1] + (kc // dedup_frames,), ob_dtype
+            (int(np.prod(frames_shape)),), ob_dtype
         )
     else:
-        chunk_item["obs"] = jnp.zeros((nsteps + 1,) + ob_shape, ob_dtype)
+        # obs chunks are stored FLAT: gathering 64 slots of a rank-5 uint8
+        # buffer shaped (slots, T+1, H, W, C) costs 143 ms on a v5e (the
+        # narrow minor dims tile-pad ~3x and the high-rank u8 gather hits
+        # a pathological path; ANALYSIS_r5.md §7) vs ~2 ms for the same
+        # bytes as flat rows — this one layout choice is a ~7x end-to-end
+        # acer speedup.  Unflattening happens on the 64-chunk sample.
+        chunk_item["obs"] = jnp.zeros(
+            ((nsteps + 1) * int(np.prod(ob_shape)),), ob_dtype
+        )
 
     def to_stored(chunk):
-        """Full rollout chunk → replay storage layout (frame dedup)."""
+        """Full rollout chunk → replay storage layout (flat rows / dedup)."""
         if dedup_frames <= 1:
-            return chunk
+            out = dict(chunk)
+            out["obs"] = chunk["obs"].reshape(chunk["obs"].shape[0], -1)
+            return out
         obs0, frames = jax.vmap(
             lambda o, d: compress_frames(o, d, dedup_frames)
         )(chunk["obs"], chunk["dones"])
         out = {k: v for k, v in chunk.items() if k != "obs"}
-        out["obs0"], out["frames"] = obs0, frames
+        out["obs0"] = obs0
+        out["frames"] = frames.reshape(frames.shape[0], -1)
         return out
 
     def to_full(stored):
         """Replay storage layout → full chunk with re-stacked observations."""
         if dedup_frames <= 1:
-            return stored
+            out = dict(stored)
+            out["obs"] = stored["obs"].reshape(
+                (stored["obs"].shape[0], nsteps + 1) + ob_shape
+            )
+            return out
+        frames = stored["frames"].reshape(
+            (stored["frames"].shape[0],) + frames_shape
+        )
         obs_full = jax.vmap(
             lambda f0, fr, d: decompress_frames(f0, fr, d, dedup_frames)
-        )(stored["obs0"], stored["frames"], stored["dones"])
+        )(stored["obs0"], frames, stored["dones"])
         out = {k: v for k, v in stored.items() if k not in ("obs0", "frames")}
         out["obs"] = obs_full
         return out

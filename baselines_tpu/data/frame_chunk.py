@@ -61,12 +61,17 @@ def decompress_frames(
     frame_step = jnp.clip(jnp.arange(k + t_len) - (k - 1), 0, t_len)
     frame_epi = epi[frame_step]  # (k+T,)
 
-    # window gather: stacked obs[t] = frames t..t+k-1, masked to epi match
-    idx = jnp.arange(t_len + 1)[:, None] + jnp.arange(k)[None, :]  # (T+1, k)
-    win = f[idx]  # (T+1, k, ..., C)
-    alive = frame_epi[idx] == epi[:, None]  # (T+1, k)
-    alive = alive.reshape(alive.shape + (1,) * (win.ndim - 2))
-    win = jnp.where(alive, win, jnp.zeros_like(win))
-    # (T+1, k, ..., C) → (T+1, ..., k, C) → (T+1, ..., k·C)
-    win = jnp.moveaxis(win, 1, -2)
-    return win.reshape(win.shape[:-2] + (k * c,)).astype(first.dtype)
+    # stacked obs[t] = frames t..t+k-1 on the channel axis, masked to epi
+    # match.  Formulated as k SHIFTED SLICES + one channel concat: the
+    # round-4 window-gather version (f[idx] over a (T+1, k) index grid,
+    # then a moveaxis interleave) cost ~160 ms per 64-chunk acer replay
+    # sample on a v5e — the u8 gather + transpose dominated the whole
+    # replay update (results/perf/ANALYSIS_r5.md §7); plain slices are
+    # layout-preserving and lower to copies at memory speed.
+    parts = []
+    for j in range(k):  # channel group j holds frame t+j (oldest→newest)
+        part = f[j : j + t_len + 1]                  # (T+1, ..., C)
+        alive = frame_epi[j : j + t_len + 1] == epi  # (T+1,)
+        alive = alive.reshape((t_len + 1,) + (1,) * (part.ndim - 1))
+        parts.append(jnp.where(alive, part, jnp.zeros_like(part)))
+    return jnp.concatenate(parts, axis=-1).astype(first.dtype)
