@@ -122,9 +122,26 @@ class KfacPolicyNet:
             din = h * w * c
             specs.append(_DenseSpec(din, 512 if network == "cnn" else 128, "relu"))
             din = specs[-1].dout
+        elif network == "cnn_s2d":
+            # space-to-depth-packed Nature geometry (envs/vec.py VecS2D,
+            # nn/networks.py NatureCNNS2D): conv1 8x8/s4 on 84x84x4 is the
+            # weight-equivalent 2x2/s1 on 21x21x64; KFC factor registration
+            # is shape-generic so only the stack geometry differs
+            if probe.ndim != 4:
+                raise ValueError("acktr network='cnn_s2d' needs HWC image obs")
+            self.conv_input = True
+            h, w, c = probe.shape[1:]
+            for cout, k, stride in [(32, 2, 1), (64, 4, 2), (64, 3, 1)]:
+                spec = _ConvSpec(k, stride, c, cout, h, w, "relu")
+                specs.append(spec)
+                h, w, c = spec.hout, spec.wout, cout
+            din = h * w * c
+            specs.append(_DenseSpec(din, 512, "relu"))
+            din = specs[-1].dout
         else:
             raise ValueError(
-                f"acktr supports network in ('mlp','cnn','cnn_small'), got {network!r}"
+                f"acktr supports network in ('mlp','cnn','cnn_small','cnn_s2d'),"
+                f" got {network!r}"
             )
         specs.append(_DenseSpec(din, self.pi_dim, None))  # pi head
         specs.append(_DenseSpec(din, 1, None))  # vf head

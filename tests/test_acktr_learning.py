@@ -128,3 +128,27 @@ def test_kfac_conv_patch_stats_shapes():
         assert a2d.shape[0] == g2d.shape[0]
         if spec.kind == "conv":
             assert a2d.shape[0] == 6 * spec.hout * spec.wout
+
+
+def test_kfac_net_cnn_s2d_geometry():
+    """acktr's K-FAC net accepts the s2d-packed Nature geometry: 2x2/s1 +
+    4x4/s2 + 3x3/s1 on 21x21x64 ends at the same 7x7x64 -> 3136 -> 512
+    trunk as the unpacked Nature stack (nn/networks.py NatureCNNS2D)."""
+    import jax
+    import jax.numpy as jnp
+
+    from baselines_tpu.algos.acktr.acktr import KfacPolicyNet
+    from baselines_tpu.envs.spaces import Box, Discrete
+    import numpy as np
+
+    net = KfacPolicyNet(
+        Box(0, 255, (21, 21, 64), np.uint8), Discrete(6), network="cnn_s2d"
+    )
+    # conv specs end at 7x7x64; the first dense is 3136 -> 512
+    dense = [s for s in net.specs if s.kind == "dense"]
+    assert dense[0].din == 7 * 7 * 64 and dense[0].dout == 512
+    params = net.init(jax.random.PRNGKey(0))
+    obs = jnp.zeros((8, 21, 21, 64), jnp.uint8)
+    pdflat, vf, _ = net.forward(params, obs)
+    assert pdflat.shape == (8, 6)
+    assert vf.shape == (8,)

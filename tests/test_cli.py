@@ -93,3 +93,25 @@ def test_play_normalization_follows_model_stats(monkeypatch):
     ])
     assert calls
     assert calls[-1]["normalize"] is True
+
+
+def test_explicit_network_flag_beats_alg_defaults(monkeypatch):
+    """run.py: an explicit --network must override per-algorithm defaults
+    (reference run.py:92-95) — acer's testing default (mlp) used to win
+    over a requested cnn, which then tripped the --s2d network check."""
+    import baselines_tpu.run as run_mod
+
+    captured = {}
+
+    def fake_learn(**kw):
+        captured.update(kw)
+        return object()
+
+    monkeypatch.setattr(
+        run_mod.algos, "get_learn_function", lambda alg: fake_learn
+    )
+    run_mod.main([
+        "--alg=acer", "--env=AtariSim-v0", "--network=cnn", "--s2d=4",
+        "--num_timesteps=0",
+    ])
+    assert captured["network"] == "cnn_s2d"  # flag won; s2d mapped cnn->cnn_s2d
