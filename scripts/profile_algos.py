@@ -54,7 +54,10 @@ RUNS = [
     ("acktr", "total_timesteps", "fps", "cum", [
         "--alg=acktr", "--env=AtariSim-v0", "--num_timesteps=2e6",
         "--num_env=64", "--s2d=4", "--network=cnn", "--dtype=bfloat16",
-        "--seed=0", "--log_interval=50",
+        "--seed=0", "--log_interval=50", "--kfac_update=10",
+        # kfac_update=10 = the atari default (AtariSim resolves to the
+        # 'testing' env_type, which would otherwise fall back to the
+        # strictly-synchronous kfac_update=1)
     ]),
     ("ppo1", "misc/total_timesteps", "fps", "interval", [
         "--alg=ppo1", "--env=AtariSim-v0", "--num_timesteps=3e6",
