@@ -48,7 +48,7 @@ RUNS = [
         "--num_env=256", "--network=mlp", "--seed=0",
     ]),
     ("her", "total/steps", "steps_per_second", "cum", [
-        "--alg=her", "--env=PointReach-v0", "--num_timesteps=6e5",
+        "--alg=her", "--env=PointReach-v0", "--num_timesteps=2e6",
         "--num_env=64", "--network=mlp", "--seed=0", "--log_interval=1",
     ]),
     ("acktr", "total_timesteps", "fps", "cum", [
