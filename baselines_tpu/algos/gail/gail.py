@@ -121,7 +121,30 @@ class _GAILModel(Model):
     tree, no obfilter): a legacy payload swaps the policy back to the
     unfiltered inner PolicyWithValue so committed round-4 artifacts
     evaluate bit-identically.  Legacy checkpoints are eval-compatible
-    only — continuing training requires a current-format checkpoint."""
+    only — continuing training requires a current-format checkpoint.
+
+    save() additionally bundles the ADVERSARY (d_params, d_opt,
+    d_obs_rms) and the value-tower Adam state, so a --load_path
+    continuation resumes the discriminator instead of re-initializing
+    it.  Measured motivation: resuming a 3M-step from-scratch run with a
+    params-only checkpoint knocked the generator from +6 to −695 while a
+    fresh discriminator re-converged (results/gail_ref_calib/RESULTS.md
+    §3).  The reference's saver has the same property for free — its
+    checkpoint covers every graph variable including the adversary
+    (gail/trpo_mpi.py task_name saver over the full graph)."""
+
+    _ADVERSARY_FIELDS = ("d_params", "d_opt", "d_obs_rms", "vf_opt")
+
+    def save(self, path):
+        from baselines_tpu.core import checkpoint as ckpt
+
+        payload = {
+            "model_params": self.params,
+            "gail_adversary": {
+                f: getattr(self.state, f) for f in self._ADVERSARY_FIELDS
+            },
+        }
+        ckpt.save_state(path, payload)
 
     def load(self, path):
         from flax import serialization
@@ -159,7 +182,14 @@ class _GAILModel(Model):
             self.policy = inner
             self.state = self.state.replace(params=jax.device_put(params))
             return self
-        return super().load(path)
+        super().load(path)
+        if isinstance(raw, dict) and "gail_adversary" in raw:
+            tmpl = jax.device_get(
+                {f: getattr(self.state, f) for f in self._ADVERSARY_FIELDS}
+            )
+            adv = serialization.from_state_dict(tmpl, raw["gail_adversary"])
+            self.state = self.state.replace(**jax.device_put(adv))
+        return self
 
 
 def learn(

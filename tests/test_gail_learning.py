@@ -68,3 +68,31 @@ def test_behavior_cloning():
     model = Model(pol, s)
     ret, _, _ = evaluate(model, venv, jax.random.PRNGKey(2), nsteps=300)
     assert ret > -5, f"bc identity return {ret}"
+
+
+def test_gail_checkpoint_resumes_adversary(tmp_path):
+    """--save_path carries the discriminator (+ its Adam state and obs_rms)
+    and --load_path restores it, so a continued run does not re-initialize
+    the adversary (the knockback measured in results/gail_ref_calib).  The
+    reference's full-graph saver has the same property (gail/trpo_mpi.py)."""
+    ds = _identity_expert()
+    kwargs = dict(
+        env_id="BoxIdentity-v0", network="mlp", expert_dataset=ds, seed=0,
+        num_envs=8, timesteps_per_batch=512, g_step=1, d_step=2,
+        log_interval=0,
+    )
+    model = gail_learn(total_timesteps=5 * 512, **kwargs)
+    path = str(tmp_path / "gail.ckpt")
+    model.save(path)
+
+    resumed = gail_learn(total_timesteps=0, load_path=path, **kwargs)
+    for field in ("d_params", "d_opt", "d_obs_rms", "vf_opt"):
+        saved = jax.device_get(getattr(model.state, field))
+        got = jax.device_get(getattr(resumed.state, field))
+        jax.tree.map(np.testing.assert_array_equal, saved, got)
+    # and the policy params round-trip as before
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        jax.device_get(model.params),
+        jax.device_get(resumed.params),
+    )
